@@ -1,0 +1,179 @@
+"""Spatial transformer stack (self + cross attention) with native map capture.
+
+Behavioural contract mirrors `/root/reference/ldm/modules/attention.py`:
+
+* ``CrossAttention`` — q/k/v projections without bias, ``scale = d_head**-0.5``,
+  output projection with bias (`attention.py:152-216`).  When ``capture`` is
+  set it also returns the head-averaged *pre-softmax* score map, which is what
+  the reference's forward hooks harvest for the distillation loss
+  (`attention.py:170-175`; hook consumption `ddpm.py:1739-1766`).  Capture is
+  a **static** flag: the fast path compiles with zero capture overhead, and
+  the attention math runs through the Pallas flash kernel on TPU.
+* ``adapt_q`` reproduces the adapter-query branch: attention re-run with an
+  external query tensor, outputs summed (`attention.py:203-214`).
+* ``BasicTransformerBlock`` — self-attn → cross-attn → GEGLU FF, each with a
+  pre-LayerNorm residual (`attention.py:219-241`).
+* ``SpatialTransformer`` — GroupNorm(eps 1e-6) → 1×1 proj_in → blocks →
+  zero-init 1×1 proj_out + residual (`attention.py:252-292`).
+
+Tensors are NHWC / [B, N, C]; rematerialization is applied at the UNet level
+via ``jax.checkpoint`` rather than per-block torch checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fgdm_tpu.kernels.attention import attention_with_scores, multihead_attention
+from fgdm_tpu.nn.layers import Conv2d, Dense, GroupNorm32, LayerNorm32
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        adapt_q: Optional[jnp.ndarray] = None,
+        capture: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        h = self.heads
+        inner = self.dim_head * h
+        scale = self.dim_head ** -0.5
+        ctx = x if context is None else context
+
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        def split(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        def merge(t):
+            b, hh, n, d = t.shape
+            return t.transpose(0, 2, 1, 3).reshape(b, n, hh * d)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        probs = None
+        if capture:
+            out, probs = attention_with_scores(qh, kh, vh, scale)
+        else:
+            out = multihead_attention(qh, kh, vh, scale)
+        out = merge(out)
+
+        if adapt_q is not None:
+            aq = split(adapt_q)
+            out = out + merge(multihead_attention(aq, kh, vh, scale))
+
+        out = Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return out, probs
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * jax.nn.gelu(gate.astype(jnp.float32)).astype(x.dtype)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    glu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        if self.glu:
+            x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        else:
+            x = Dense(inner, dtype=self.dtype, name="net_0")(x)
+            x = jax.nn.gelu(x.astype(jnp.float32)).astype(x.dtype)
+        return Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    gated_ff: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        adapt_q: Optional[jnp.ndarray] = None,
+        capture: bool = False,
+    ):
+        y1, self_probs = CrossAttention(
+            self.dim, heads=self.n_heads, dim_head=self.d_head,
+            dtype=self.dtype, name="attn1",
+        )(LayerNorm32(name="norm1")(x), capture=capture)
+        x = y1 + x
+        y2, cross_probs = CrossAttention(
+            self.dim, context_dim=self.context_dim, heads=self.n_heads,
+            dim_head=self.d_head, dtype=self.dtype, name="attn2",
+        )(LayerNorm32(name="norm2")(x), context=context, adapt_q=adapt_q,
+          capture=capture)
+        x = y2 + x
+        x = FeedForward(self.dim, glu=self.gated_ff, dtype=self.dtype, name="ff")(
+            LayerNorm32(name="norm3")(x)
+        ) + x
+        return x, (self_probs, cross_probs)
+
+
+class SpatialTransformer(nn.Module):
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        adapt_q: Optional[jnp.ndarray] = None,
+        capture: bool = False,
+    ):
+        b, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
+        x = Conv2d(inner, kernel_size=1, padding=0, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, hh * ww, inner)
+        probs = None
+        for d in range(self.depth):
+            x, probs = BasicTransformerBlock(
+                inner, self.n_heads, self.d_head, context_dim=self.context_dim,
+                dtype=self.dtype, name=f"transformer_blocks_{d}",
+            )(x, context=context, adapt_q=adapt_q, capture=capture)
+        x = x.reshape(b, hh, ww, inner)
+        x = Conv2d(
+            self.in_channels, kernel_size=1, padding=0, zero_init=True,
+            dtype=self.dtype, name="proj_out",
+        )(x)
+        return x + x_in, probs

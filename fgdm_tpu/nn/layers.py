@@ -1,0 +1,168 @@
+"""Primitive layers shared across the framework (NHWC, mixed precision).
+
+Design: parameters are stored in float32; compute dtype is configurable
+(bfloat16 on TPU).  Normalizations always compute in float32 and cast back,
+mirroring the reference's `GroupNorm32` / fp16-safe LayerNorm
+(`/root/reference/ldm/modules/diffusionmodules/util.py:219-225`,
+`/root/reference/ldm/modules/encoders/adapter.py:349-355`).
+
+Layout is NHWC throughout — the native layout for TPU convolutions — unlike
+the reference's NCHW.  The torch-checkpoint ingester does the transposition.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+__all__ = [
+    "timestep_embedding",
+    "GroupNorm32",
+    "LayerNorm32",
+    "Conv2d",
+    "Dense",
+    "avg_pool_2x2",
+    "nearest_upsample_2x",
+]
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding; matches reference `util.py:160-180`
+    (cos first, then sin)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32, output cast back to input dtype.
+
+    Matches torch ``GroupNorm(32, ch)`` (eps 1e-5 default; the VAE uses 1e-6
+    — reference `ldm/modules/diffusionmodules/model.py` `Normalize`).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        g = self.num_groups
+        spatial = x.shape[1:-1]
+        xg = x.reshape(x.shape[0], -1, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        x = xg.reshape((x.shape[0],) + spatial + (c,))
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in float32 (fp16/bf16-safe)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with float32 params, compute in ``dtype``.
+
+    ``zero_init=True`` reproduces the reference's ``zero_module`` convs
+    (UNet out conv, transformer proj_out, ControlNet zero-convs).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | str = "SAME"
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel_init = (
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        kernel = self.param(
+            "kernel", kernel_init, (k, k, x.shape[-1], self.features), jnp.float32
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear layer with float32 params, compute in ``dtype``."""
+
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel_init = (
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param("kernel", kernel_init, (x.shape[-1], self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
