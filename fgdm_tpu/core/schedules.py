@@ -70,8 +70,10 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise NotImplementedError(f"unknown ddim discretization: {ddim_discr_method}")
-    # +1 to get final alphas right (first-scale-to-data step), as in reference.
-    return ddim_timesteps + 1
+    # +1 to get final alphas right (first-scale-to-data step), as in
+    # reference; clamp because for non-divisor S the last entry would be T
+    # (the reference only ever uses divisor step counts like 50/20 of 1000).
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 @dataclasses.dataclass(frozen=True)

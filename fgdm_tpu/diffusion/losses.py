@@ -1,0 +1,129 @@
+"""Training objectives: eps-MSE + ELBO weighting + attention distillation.
+
+Mirrors `/root/reference/ldm/models/diffusion/ddpm.py:1186-1258`
+(``p_losses``): weighted simple loss (l2 on eps or x0), VLB term with
+``lvlb_weights``, plus — on distillation steps — ``0.1 × KL(teacher ‖
+student)`` over aggregated attention maps where the teacher is the *same*
+UNet run with the adapter disabled on a 2×-upsampled latent
+(`ddpm.py:1250-1254,1799-1818`).  No second model copy, no hooks, no host
+transfers: both forwards and the KL stay inside one compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.utils.attention_maps import (
+    avg_pool_map_2x,
+    get_token_maps,
+    kl_distill_loss,
+)
+
+
+def nearest_upsample_2x_latent(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, 2 * h, 2 * w, c)
+
+
+def _pool_cross_2x(m: jnp.ndarray) -> jnp.ndarray:
+    """[B, r, r, K] → [B, r/2, r/2, K] average pool (downsample2,
+    ddpm.py:131,1814)."""
+    b, r, _, k = m.shape
+    return m.reshape(b, r // 2, 2, r // 2, 2, k).mean(axis=(2, 4))
+
+
+def teacher_attention_maps(
+    ld: LatentDiffusion,
+    x_start: jnp.ndarray,
+    noise: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: Dict[str, Any],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frozen-SD teacher maps: forward on the 2×-upsampled noisy latent with
+    the adapter disabled, maps aggregated at 2·resn then pooled back to resn
+    (reference ``get_attnmaps``, ddpm.py:1799-1818)."""
+    resn = x_start.shape[1]
+    x2 = ld.schedule.q_sample(
+        nearest_upsample_2x_latent(x_start),
+        t,
+        nearest_upsample_2x_latent(noise),
+    )
+    _, t_self_raw, t_cross_raw = ld.apply_model(
+        x2, t, cond, adapter_on=False, capture=True
+    )
+    t_self, t_cross = get_token_maps(t_self_raw, t_cross_raw, resn=2 * resn)
+    t_self = avg_pool_map_2x(t_self, times=2)   # [B, resn², resn²]
+    t_cross = _pool_cross_2x(t_cross)           # [B, resn, resn, 77]
+    return jax.lax.stop_gradient(t_self), jax.lax.stop_gradient(t_cross)
+
+
+def diffusion_loss(
+    ld: LatentDiffusion,
+    rng: jax.Array,
+    x_start: jnp.ndarray,
+    cond: Dict[str, Any],
+    parameterization: str = "eps",
+    l_simple_weight: float = 1.0,
+    original_elbo_weight: float = 0.0,
+    distill: bool = False,
+    distill_weight: float = 0.1,
+    trunc_bs: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One loss evaluation. ``distill=True`` is a second jit specialization
+    (the reference's distill step also changes shapes, ddpm.py:1188)."""
+    b = x_start.shape[0]
+    rng_t, rng_noise = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (b,), 0, ld.schedule.num_timesteps)
+    noise = jax.random.normal(rng_noise, x_start.shape, jnp.float32)
+    x_noisy = ld.schedule.q_sample(x_start, t, noise)
+
+    if parameterization == "eps":
+        target = noise
+    elif parameterization == "x0":
+        target = x_start
+    else:
+        raise NotImplementedError(parameterization)
+
+    loss_dict: Dict[str, jnp.ndarray] = {}
+
+    if distill:
+        model_output, selfattn, crossattn = ld.apply_model(
+            x_noisy, t, cond, capture=True
+        )
+    else:
+        model_output = ld.apply_model(x_noisy, t, cond)
+
+    sq = (model_output.astype(jnp.float32) - target) ** 2
+    loss_simple = jnp.mean(sq, axis=(1, 2, 3))
+    loss_dict["loss_simple"] = jnp.mean(loss_simple)
+
+    loss = l_simple_weight * jnp.mean(loss_simple)
+
+    loss_vlb = jnp.mean(ld.schedule.lvlb_weights[t] * loss_simple)
+    loss_dict["loss_vlb"] = loss_vlb
+    loss = loss + original_elbo_weight * loss_vlb
+
+    if distill:
+        # reference trucbs = min(max(2, B//10), 8)  (ddpm.py:1188)
+        tb = trunc_bs or min(max(2, b // 10), 8)
+        tb = min(tb, b)
+        resn = x_start.shape[1]
+        s_self, s_cross = get_token_maps(selfattn, crossattn, resn=resn)
+        s_self, s_cross = s_self[:tb], s_cross[:tb]
+
+        cond_tb = jax.tree.map(lambda c: c[:tb], cond)
+        t_self, t_cross = teacher_attention_maps(
+            ld, x_start[:tb], noise[:tb], t[:tb], cond_tb
+        )
+        dl = kl_distill_loss(t_self, t_cross, s_self, s_cross)
+        loss_dict["loss_distill"] = dl
+        loss = loss + distill_weight * dl
+
+    loss_dict["loss"] = loss
+    return loss, loss_dict

@@ -77,6 +77,8 @@ class UNetModel(nn.Module):
         pcond: Optional[jnp.ndarray] = None, # adapter prompt (defaults to x)
         adapter_on: bool = True,             # False = frozen-SD teacher path
         capture: bool = False,               # return attention maps
+        control: Optional[Sequence[jnp.ndarray]] = None,  # 13 ControlNet residuals
+        only_mid_control: bool = False,
     ):
         mc = self.model_channels
         time_embed_dim = mc * 4
@@ -185,12 +187,22 @@ class UNetModel(nn.Module):
         h = attn("middle_block_1", ch, "middle_block.1")(h)
         h = res("middle_block_2", ch, ch)(h, emb)
 
+        # ControlNet residual injection (reference ControlledUnetModel,
+        # controlnet/cldm/cldm.py:27-50): last residual into the middle
+        # output, the rest added to each encoder skip, consumed in reverse.
+        ctrl = list(control) if control is not None else None
+        if ctrl is not None:
+            h = h + ctrl.pop().astype(h.dtype)
+
         # --- output blocks -------------------------------------------------
         block_idx = 0
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 ich = input_block_chans.pop()
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                skip = hs.pop()
+                if ctrl is not None and not only_mid_control:
+                    skip = skip + ctrl.pop().astype(h.dtype)
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = res(f"output_blocks_{block_idx}_0", ch + ich, mult * mc)(h, emb)
                 ch = mult * mc
                 layer_idx = 1

@@ -1,0 +1,58 @@
+"""Device mesh + sharding rules — the framework's parallelism layer.
+
+The reference's only strategy is PyTorch-Lightning DDP over NCCL
+(`/root/reference/main.py:546,691-698`).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` over ICI with named axes:
+
+* ``data``  — batch sharding (the DP baseline; gradient psum over ICI is
+  inserted by the compiler from the sharding annotations).
+* ``model`` — reserved tensor-parallel axis: attention heads / conv channels
+  can be sharded here without touching model code (XLA propagates).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``;
+the mesh spans all global devices and DCN handles the inter-slice edges.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for inputs: [B, ...] split over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, batch-sharded."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    r = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, r), tree)

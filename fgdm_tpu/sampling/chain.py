@@ -1,0 +1,143 @@
+"""Factor-graph chain orchestration — the FG-DM product pipeline, fused.
+
+The reference bridges its two factor models through PNG files on the host
+(`/root/reference/scripts/txt2img_fgdm_inference.py:244-292`): factor 1
+(text→condition) samples 50 DDIM steps at 256², decodes, saves uint8 PNGs,
+cv2-resizes to 512², and factor 2 (`controlnet/initialize_cn.py:74-102`)
+reloads them as the ControlNet hint for a 20-step DDIM at 512².
+
+Here the whole chain is **one traced program**: latents never leave the
+device; the PNG hop becomes an in-graph uint8 quantization (kept for
+behavioural fidelity — the hint the ControlNet sees is bit-identical in
+distribution to the reference's reloaded PNG) and a bilinear resize.
+
+Defaults mirror `run_inference.sh`: factor 1 — 50 steps, CFG 7.5, eta 0;
+factor 2 — 20 steps, CFG 9.0, strength 1.0, positive suffix
+"best quality, extremely detailed", standard negative prompt.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fgdm_tpu.core.schedules import DDIMSchedule
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.sampling.ddim import ddim_sample
+
+A_PROMPT = "best quality, extremely detailed"
+N_PROMPT = (
+    "longbody, lowres, bad anatomy, bad hands, missing fingers, extra digit, "
+    "fewer digits, cropped, worst quality, low quality"
+)
+
+
+def quantize_like_png(img01: jnp.ndarray) -> jnp.ndarray:
+    """Round-trip through uint8, as the reference's PNG save/load does."""
+    return jnp.round(jnp.clip(img01, 0.0, 1.0) * 255.0) / 255.0
+
+
+def latent_to_condition_image(
+    ld: LatentDiffusion, samples: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """VAE-decode factor-1 latents → [0,1] hint at ``out_hw`` (bilinear),
+    with the reference's uint8 quantization hop."""
+    x = ld.decode_first_stage(samples)
+    img01 = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    img01 = quantize_like_png(img01)
+    b, h, w, c = img01.shape
+    img01 = jax.image.resize(img01, (b, out_hw[0], out_hw[1], c), "bilinear")
+    return img01
+
+
+def sample_condition_factor(
+    ld: LatentDiffusion,
+    rng: jax.Array,
+    cond_ctx: jnp.ndarray,        # [B,77,768] prompt embedding
+    uncond_ctx: jnp.ndarray,      # [B,77,768] "" embedding
+    latent_hw: Tuple[int, int] = (32, 32),
+    num_steps: int = 50,
+    cfg_scale: float = 7.5,
+    eta: float = 0.0,
+    x_T: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Factor 1: text → condition-map latents (DDIM, fused CFG)."""
+    sched = DDIMSchedule.create(ld.schedule, num_steps, eta=eta)
+    b = cond_ctx.shape[0]
+    shape = (b, latent_hw[0], latent_hw[1], ld.unet_def.in_channels)
+    samples, _ = ddim_sample(
+        ld.denoise_fn(), rng, shape, sched,
+        cond={"c_crossattn": cond_ctx},
+        uncond={"c_crossattn": uncond_ctx},
+        cfg_scale=cfg_scale, x_T=x_T,
+    )
+    return samples
+
+
+def sample_image_factor(
+    cldm: ControlLDM,
+    rng: jax.Array,
+    hint: jnp.ndarray,            # [B,H,W,3] in [0,1]
+    cond_ctx: jnp.ndarray,        # [B,77,768] prompt(+a_prompt) embedding
+    uncond_ctx: jnp.ndarray,      # [B,77,768] n_prompt embedding
+    num_steps: int = 20,
+    cfg_scale: float = 9.0,
+    eta: float = 0.0,
+    guess_mode: bool = False,
+    x_T: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Factor 2: condition image → image latents via ControlNet."""
+    sched = DDIMSchedule.create(cldm.schedule, num_steps, eta=eta)
+    b, hh, ww, _ = hint.shape
+    shape = (b, hh // 8, ww // 8, cldm.unet_def.in_channels)
+    # In non-guess mode the hint rides in both cond and uncond branches
+    # (initialize_cn.py:86-87), so the fused-CFG concat handles it.
+    uncond_hint = jnp.zeros_like(hint) if guess_mode else hint
+    samples, _ = ddim_sample(
+        cldm.denoise_fn(), rng, shape, sched,
+        cond={"c_crossattn": cond_ctx, "c_concat": hint},
+        uncond={"c_crossattn": uncond_ctx, "c_concat": uncond_hint},
+        cfg_scale=cfg_scale, x_T=x_T,
+    )
+    return samples
+
+
+def fgdm_chain(
+    ld: LatentDiffusion,
+    cldm: ControlLDM,
+    rng: jax.Array,
+    prompt_ctx: jnp.ndarray,       # factor-1 prompt embedding
+    empty_ctx: jnp.ndarray,        # "" embedding (factor-1 uncond)
+    cn_prompt_ctx: jnp.ndarray,    # factor-2 prompt+a_prompt embedding
+    cn_neg_ctx: jnp.ndarray,       # factor-2 negative-prompt embedding
+    cond_hw: Tuple[int, int] = (256, 256),
+    image_hw: Tuple[int, int] = (512, 512),
+    f1_steps: int = 50,
+    f2_steps: int = 20,
+    f1_scale: float = 7.5,
+    f2_scale: float = 9.0,
+) -> Dict[str, jnp.ndarray]:
+    """Full text→condition→image chain in one traceable function.
+
+    Returns dict with 'condition' ([0,1] map at cond_hw), 'hint' (resized),
+    and 'image' ([-1,1] at image_hw).
+    """
+    r1, r2 = jax.random.split(rng)
+    z_cond = sample_condition_factor(
+        ld, r1, prompt_ctx, empty_ctx,
+        latent_hw=(cond_hw[0] // 8, cond_hw[1] // 8),
+        num_steps=f1_steps, cfg_scale=f1_scale,
+    )
+    hint = latent_to_condition_image(ld, z_cond, image_hw)
+    z_img = sample_image_factor(
+        cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
+        num_steps=f2_steps, cfg_scale=f2_scale,
+    )
+    image = cldm.decode_first_stage(z_img)
+    cond_img = jnp.clip(
+        (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0
+    )
+    return {"condition": cond_img, "hint": hint, "image": image}

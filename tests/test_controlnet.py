@@ -1,0 +1,133 @@
+"""ControlNet branch + ControlLDM + fused chain tests (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.autoencoder import AutoencoderKL
+from fgdm_tpu.models.clip import CLIPTextEncoder
+from fgdm_tpu.models.controlnet import ControlNet, guess_mode_scales
+from fgdm_tpu.models.unet import UNetModel
+from fgdm_tpu.sampling import chain
+
+UNET_TINY = dict(model_channels=32, num_heads=4, context_dim=64,
+                 channel_mult=(1, 2), attention_resolutions=(1, 2),
+                 num_res_blocks=1, dtype=jnp.float32)
+CN_TINY = dict(model_channels=32, num_heads=4, context_dim=64,
+               channel_mult=(1, 2), attention_resolutions=(1, 2),
+               num_res_blocks=1, dtype=jnp.float32)
+VAE_TINY = dict(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                resolution=64, z_channels=4, embed_dim=4, dtype=jnp.float32)
+CLIP_TINY = dict(vocab_size=128, embed_dim=64, num_layers=2, num_heads=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_controlnet():
+    cn = ControlNet(**CN_TINY)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 16, 4))
+    hint = jnp.zeros((1, 128, 128, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 64))
+    params = cn.init(rng, x, hint, t, ctx)
+    return cn, params
+
+
+def test_controlnet_residual_count_and_shapes(tiny_controlnet):
+    cn, params = tiny_controlnet
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    hint = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3))
+    outs = cn.apply(params, x, hint, jnp.array([5]), jnp.zeros((1, 77, 64)))
+    # tiny: conv + 2 res + 1 down = 4 taps + middle = 5
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 16, 16, 32)
+    assert outs[-1].shape[-1] == 64  # middle at top mult
+
+
+def test_zero_convs_give_zero_residuals_at_init(tiny_controlnet):
+    """Freshly initialized ControlNet must not perturb the UNet — all taps
+    are zero-init 1×1 convs (cldm.py:789-790)."""
+    cn, params = tiny_controlnet
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    hint = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3))
+    outs = cn.apply(params, x, hint, jnp.array([5]), jnp.zeros((1, 77, 64)))
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o), 0.0)
+
+
+def test_unet_consumes_control_residuals():
+    unet = UNetModel(**UNET_TINY, use_adapter=False)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 64))
+    params = unet.init(rng, x, t, ctx)
+    # randomize the zero-init output conv so differences are visible
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    control = [
+        jnp.ones((1, 16, 16, 32)),  # conv tap
+        jnp.ones((1, 16, 16, 32)),  # level0 res
+        jnp.ones((1, 8, 8, 32)),    # downsample tap
+        jnp.ones((1, 8, 8, 64)),    # level1 res
+        jnp.ones((1, 8, 8, 64)),    # middle
+    ]
+    xr = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    base = unet.apply(params, xr, t, ctx)
+    with_ctrl = unet.apply(params, xr, t, ctx, control=control)
+    assert not np.allclose(np.asarray(base), np.asarray(with_ctrl))
+    mid_only = unet.apply(params, xr, t, ctx, control=control,
+                          only_mid_control=True)
+    assert not np.allclose(np.asarray(with_ctrl), np.asarray(mid_only))
+
+
+def test_guess_mode_scales():
+    s = guess_mode_scales(1.0)
+    assert len(s) == 13
+    np.testing.assert_allclose(s[12], 1.0)
+    np.testing.assert_allclose(s[0], 0.825**12, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    rng = jax.random.PRNGKey(0)
+    unet = UNetModel(**UNET_TINY)
+    cn_unet = UNetModel(**UNET_TINY, use_adapter=False)
+    vae = AutoencoderKL(**VAE_TINY)
+    clip = CLIPTextEncoder(**CLIP_TINY)
+    ld = LatentDiffusion.create(unet, vae, clip, rng, latent_size=8)
+    cldm = ControlLDM.create_control(
+        cn_unet, vae, clip, ControlNet(**CN_TINY), jax.random.PRNGKey(1),
+        latent_size=8, control_scales=(1.0,) * 5,
+    )
+    return ld, cldm
+
+
+def test_chain_end_to_end(tiny_pipeline):
+    """Full text→condition→image chain runs as one jitted program."""
+    ld, cldm = tiny_pipeline
+    ctx = jnp.zeros((1, 77, 64))
+
+    @jax.jit
+    def run(rng):
+        return chain.fgdm_chain(
+            ld, cldm, rng, ctx, ctx, ctx, ctx,
+            cond_hw=(64, 64), image_hw=(64, 64),
+            f1_steps=2, f2_steps=2,
+        )
+
+    out = run(jax.random.PRNGKey(3))
+    assert out["condition"].shape == (1, 64, 64, 3)
+    assert out["hint"].shape == (1, 64, 64, 3)
+    assert out["image"].shape == (1, 64, 64, 3)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_quantize_like_png():
+    x = jnp.array([0.0, 0.5, 1.0, 1.5, -0.2])
+    q = chain.quantize_like_png(x)
+    np.testing.assert_allclose(np.asarray(q), [0.0, 128 / 255, 1.0, 1.0, 0.0],
+                               atol=1e-7)
