@@ -102,8 +102,10 @@ def main():
     ld, cldm = build_pipeline()
     ctx = jnp.zeros((BATCH, 77, 768), jnp.float32)
 
+    # IMPORTANT: pipelines are jit *arguments*, not closures — closed-over
+    # param trees would be embedded as gigabytes of HLO constants.
     @jax.jit
-    def run(rng):
+    def run(ld, cldm, rng):
         return fgdm_chain(
             ld, cldm, rng, ctx, ctx, ctx, ctx,
             cond_hw=(256, 256), image_hw=(512, 512),
@@ -111,13 +113,15 @@ def main():
         )["image"]
 
     # compile + warmup
-    out = run(jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    out = run(ld, cldm, jax.random.PRNGKey(0))
     out.block_until_ready()
+    sys.stderr.write(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s\n")
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.PRNGKey(i + 1))
+        out = run(ld, cldm, jax.random.PRNGKey(i + 1))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 

