@@ -79,6 +79,7 @@ class UNetModel(nn.Module):
         capture: bool = False,               # return attention maps
         control: Optional[Sequence[jnp.ndarray]] = None,  # 13 ControlNet residuals
         only_mid_control: bool = False,
+        attn_editor=None,  # Callable[[probs, is_cross, place], probs] (ptp)
     ):
         mc = self.model_channels
         time_embed_dim = mc * 4
@@ -130,9 +131,15 @@ class UNetModel(nn.Module):
                 depth=self.transformer_depth, context_dim=self.context_dim,
                 dtype=self.dtype, name=name,
             )
+            place = {"i": "down", "m": "mid", "o": "up"}[prefix[0]]
+            editor = (
+                (lambda p, is_cross: attn_editor(p, is_cross, place))
+                if attn_editor is not None else None
+            )
 
             def apply(hh):
-                out, probs = st(hh, context=context, capture=capture)
+                out, probs = st(hh, context=context, capture=capture,
+                                attn_editor=editor)
                 if capture and probs is not None:
                     sp, cp = probs
                     if sp is not None:

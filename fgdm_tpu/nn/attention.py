@@ -48,10 +48,12 @@ class CrossAttention(nn.Module):
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
         capture: bool = False,
+        attn_editor=None,  # Callable[[probs BHNK, is_cross], probs] — ptp
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         h = self.heads
         inner = self.dim_head * h
         scale = self.dim_head ** -0.5
+        is_cross = context is not None
         ctx = x if context is None else context
 
         q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -68,7 +70,21 @@ class CrossAttention(nn.Module):
 
         qh, kh, vh = split(q), split(k), split(v)
         probs = None
-        if capture:
+        if attn_editor is not None:
+            # explicit-probability path: softmax probs are materialized,
+            # routed through the editor (prompt-to-prompt injection —
+            # replaces the reference's CrossAttention monkeypatch,
+            # utils/ptp_utils.py:333-400), then applied to v.
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", qh.astype(jnp.float32),
+                kh.astype(jnp.float32)
+            ) * scale
+            attn = jax.nn.softmax(sim, axis=-1)
+            attn = attn_editor(attn, is_cross)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(vh.dtype), vh)
+            if capture:
+                probs = jnp.mean(sim, axis=1)
+        elif capture:
             out, probs = attention_with_scores(qh, kh, vh, scale)
         else:
             out = multihead_attention(qh, kh, vh, scale)
@@ -125,17 +141,19 @@ class BasicTransformerBlock(nn.Module):
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
         capture: bool = False,
+        attn_editor=None,
     ):
         y1, self_probs = CrossAttention(
             self.dim, heads=self.n_heads, dim_head=self.d_head,
             dtype=self.dtype, name="attn1",
-        )(LayerNorm32(name="norm1")(x), capture=capture)
+        )(LayerNorm32(name="norm1")(x), capture=capture,
+          attn_editor=attn_editor)
         x = y1 + x
         y2, cross_probs = CrossAttention(
             self.dim, context_dim=self.context_dim, heads=self.n_heads,
             dim_head=self.d_head, dtype=self.dtype, name="attn2",
         )(LayerNorm32(name="norm2")(x), context=context, adapt_q=adapt_q,
-          capture=capture)
+          capture=capture, attn_editor=attn_editor)
         x = y2 + x
         x = FeedForward(self.dim, glu=self.gated_ff, dtype=self.dtype, name="ff")(
             LayerNorm32(name="norm3")(x)
@@ -158,6 +176,7 @@ class SpatialTransformer(nn.Module):
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
         capture: bool = False,
+        attn_editor=None,
     ):
         b, hh, ww, c = x.shape
         inner = self.n_heads * self.d_head
@@ -170,7 +189,8 @@ class SpatialTransformer(nn.Module):
             x, probs = BasicTransformerBlock(
                 inner, self.n_heads, self.d_head, context_dim=self.context_dim,
                 dtype=self.dtype, name=f"transformer_blocks_{d}",
-            )(x, context=context, adapt_q=adapt_q, capture=capture)
+            )(x, context=context, adapt_q=adapt_q, capture=capture,
+              attn_editor=attn_editor)
         x = x.reshape(b, hh, ww, inner)
         x = Conv2d(
             self.in_channels, kernel_size=1, padding=0, zero_init=True,
