@@ -58,6 +58,7 @@ class UNetModel(nn.Module):
     use_adapter: bool = True          # build the adapter ("no_prompting" = False)
     adapter_channels: Optional[int] = None
     use_time_adapter: bool = False
+    num_prompts: int = 1              # >1 = AdaptUNetModel multi-adapter
     # TPU execution
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
@@ -75,6 +76,7 @@ class UNetModel(nn.Module):
         context: Optional[jnp.ndarray] = None,  # [B, 77, 768] CLIP states
         y: Optional[jnp.ndarray] = None,     # [B] class labels
         pcond: Optional[jnp.ndarray] = None, # adapter prompt (defaults to x)
+        extra_pconds: Optional[Sequence[jnp.ndarray]] = None,  # multi-prompt
         adapter_on: bool = True,             # False = frozen-SD teacher path
         capture: bool = False,               # return attention maps
         control: Optional[Sequence[jnp.ndarray]] = None,  # 13 ControlNet residuals
@@ -110,6 +112,16 @@ class UNetModel(nn.Module):
                 fa = Adapter(channels=ad_channels, nums_rb=2, cin=cin,
                              ksize=1, sk=True, use_conv=False,
                              dtype=self.dtype, name="adapter")(prompt)
+            if self.num_prompts > 1 and extra_pconds is not None:
+                # AdaptUNetModel: composable extra adapters summed with the
+                # main one (openaimodel.py:1291-1309)
+                for k, ep in enumerate(extra_pconds[: self.num_prompts - 1]):
+                    fak = Adapter(
+                        channels=ad_channels, nums_rb=2, cin=cin, ksize=1,
+                        sk=True, use_conv=False, dtype=self.dtype,
+                        name=f"adapters_{k}",
+                    )(ep.astype(self.dtype))
+                    fa = tuple(a + b for a, b in zip(fa, fak))
 
         selfattn: Dict[str, jnp.ndarray] = {}
         crossattn: Dict[str, jnp.ndarray] = {}

@@ -90,12 +90,21 @@ def ddim_sample(
     temperature: float = 1.0,
     log_every_t: int = 0,
     callback: Optional[Callable] = None,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+    schedule: Optional[DiffusionSchedule] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full DDIM sampling loop.
 
     Returns ``(x_0_sample, intermediates)``.  ``intermediates['x_inter']``
     holds every ``log_every_t``-th x (scan outputs; empty when 0).
+    ``mask``/``x0`` enable inpainting: known regions are re-noised from x0
+    each step and composited (reference ddim.py:150-155: ``img = q_sample(
+    x0,t)*mask + (1-mask)*img``; mask=1 marks *kept* regions).
     """
+    if mask is not None:
+        assert x0 is not None and schedule is not None, \
+            "inpainting needs x0 and the DDPM schedule"
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
     S = sched.num_steps
@@ -106,6 +115,12 @@ def ddim_sample(
         i, step_rng = per_step
         index = S - 1 - i
         t = jnp.full((shape[0],), sched.timesteps[index], dtype=jnp.int32)
+        if mask is not None:
+            noise_rng, step_rng = jax.random.split(step_rng)
+            img_orig = schedule.q_sample(
+                x0, t, jax.random.normal(noise_rng, shape, jnp.float32)
+            )
+            x = img_orig * mask + (1.0 - mask) * x
         e_t = cfg_eps(denoise_fn, x, t, cond, uncond, cfg_scale)
         noise = (
             jax.random.normal(step_rng, shape, jnp.float32) if eta_on else None
