@@ -25,6 +25,8 @@ from jax.experimental import pallas as pl
 
 # Interpreter mode lets the flash kernel run (slowly) on CPU for testing.
 _INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
+# A/B kill-switch for macro benchmarking.
+_DISABLE_FLASH = os.environ.get("FGDM_DISABLE_FLASH", "0") == "1"
 
 try:  # pallas TPU backend only exists on TPU builds
     from jax.experimental.pallas import tpu as pltpu
@@ -161,6 +163,7 @@ def multihead_attention(q, k, v, scale=None, use_flash=None):
     if use_flash is None:
         use_flash = (
             _HAS_PLTPU
+            and not _DISABLE_FLASH
             and _on_tpu()
             and nq >= 512
             and nk >= 512
