@@ -114,6 +114,22 @@ def _identity(**params):
     return lambda x: x
 
 
+def _data_module(**params):
+    """main.DataModuleFromConfig: return the parsed data spec; the train CLI
+    builds iterators from it (the Lightning DataModule has no TPU analog)."""
+    return dict(params)
+
+
+def _image_logger(**params):
+    from fgdm_tpu.train.metrics import ImageLogger
+
+    return lambda logdir: ImageLogger(
+        logdir,
+        batch_frequency=params.get("batch_frequency", 800),
+        max_images=params.get("max_images", 8),
+    )
+
+
 TARGET_ALIASES: Dict[str, Callable[..., Any]] = {
     # reference target strings (ldm/controlnet namespaces)
     "ldm.models.diffusion.ddpm.LatentDiffusion": _build_latent_diffusion,
@@ -126,6 +142,8 @@ TARGET_ALIASES: Dict[str, Callable[..., Any]] = {
     "ldm.data.semantic.load_data": _build_load_data,
     "ldm.lr_scheduler.LambdaLinearScheduler": _build_lambda_linear,
     "torch.nn.Identity": _identity,
+    "main.DataModuleFromConfig": _data_module,
+    "main.ImageLogger": _image_logger,
     # this framework's dotted names resolve normally via import
 }
 

@@ -106,6 +106,17 @@ class LatentDiffusion:
     def q_sample(self, x_start, t, noise):
         return self.schedule.q_sample(x_start, t, noise)
 
+    def calibrate_scale_by_std(self, probe_images: jnp.ndarray,
+                               rng: Optional[jax.Array] = None
+                               ) -> "LatentDiffusion":
+        """``scale_by_std`` auto-calibration: set scale_factor to
+        1/std(encoded probe batch), as the reference does on the first
+        training batch (ddpm.py:580-597)."""
+        z = self.replace(scale_factor=1.0).encode_first_stage(
+            probe_images, rng)
+        std = float(jnp.std(z.astype(jnp.float32)))
+        return self.replace(scale_factor=1.0 / std)
+
     @staticmethod
     def create(
         unet_def: UNetModel,

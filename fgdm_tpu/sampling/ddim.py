@@ -178,6 +178,29 @@ def ddim_decode(
     return x
 
 
+def augmented_cfg_eps(
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: Any,
+    aug_cond: Any,
+    uncond: Any,
+    scale: float,
+) -> jnp.ndarray:
+    """Augmented-conditioning guidance (ddim.py:213-220): 3-way batch
+    [uncond, cond, aug]; e = uc + s((ac + s(c − ac)) − uc)."""
+    x_in = jnp.concatenate([x, x, x], axis=0)
+    t_in = jnp.concatenate([t, t, t], axis=0)
+    c_in = jax.tree.map(
+        lambda u, c, a: jnp.concatenate([u, c, a], axis=0),
+        uncond, cond, aug_cond,
+    )
+    e = denoise_fn(x_in, t_in, c_in)
+    e_uc, e_c, e_ac = jnp.split(e, 3, axis=0)
+    e_t = e_ac + scale * (e_c - e_ac)
+    return e_uc + scale * (e_t - e_uc)
+
+
 def composable_cfg_eps(
     denoise_fn: DenoiseFn,
     x: jnp.ndarray,
