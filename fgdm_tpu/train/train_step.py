@@ -33,6 +33,7 @@ def make_train_step(
     distill_weight: float = 0.1,
     encode_first_stage: bool = True,
     mesh: Optional[Mesh] = None,
+    infer_state_sharding: bool = False,
 ):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -72,10 +73,14 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # infer_state_sharding: honor the state's existing placements (e.g.
+        # tensor-parallel params placed by parallel.tp.shard_params_tp);
+        # XLA SPMD propagates the layouts and inserts the TP collectives.
+        state_sharding = None if infer_state_sharding else repl
         train_step = jax.jit(
             train_step,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sharding, data, repl),
+            out_shardings=None if infer_state_sharding else (repl, repl),
             donate_argnums=(0,),
         )
     else:
