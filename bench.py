@@ -38,11 +38,23 @@ A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
 # batch 4 is the measured throughput sweet spot on v5e (1.27 img/s vs 0.94
 # at batch 1 and 1.25 at batch 8); flash attention contributes +33%.
 BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "4"))
+# "bf16" stores parameters in bfloat16 (halves weight HBM traffic for
+# inference); default f32 matches training-grade numerics.
+PARAM_DTYPE = os.environ.get("FGDM_BENCH_PARAM_DTYPE", "f32")
 F1_STEPS = int(os.environ.get("FGDM_BENCH_F1_STEPS", "50"))
 F2_STEPS = int(os.environ.get("FGDM_BENCH_F2_STEPS", "20"))
 
 
 def zeros_like_tree(tree):
+    if PARAM_DTYPE == "bf16":
+        return jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+                else s.dtype,
+            ),
+            tree,
+        )
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
 

@@ -24,7 +24,18 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from fgdm_tpu.data.colorize import ade_cmap, color_map, colorize, coco_to_ade_labels
+from fgdm_tpu.data.colorize import ade_cmap, color_map, coco_to_ade_labels
+from fgdm_tpu.data.colorize import colorize as _np_colorize
+
+
+def colorize(labels, cmap):
+    """Prefer the native C++ codec when built (≈8× at 512²)."""
+    from fgdm_tpu.data import native
+
+    labels = np.asarray(labels)
+    if native.HAS_NATIVE and labels.min() >= 0 and labels.max() < 256:
+        return native.colorize(labels.astype(np.uint8), cmap)
+    return _np_colorize(labels, cmap)
 
 try:
     from PIL import Image

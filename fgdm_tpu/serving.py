@@ -1,0 +1,97 @@
+"""Batched serving engine for the FG-DM chain.
+
+Production-deployment layer the reference lacks (its product surface is a
+one-shot CLI): a preloaded, pre-compiled chain with fixed batch geometry,
+request padding, and per-request seeds.  One engine instance owns the
+compiled program; callers submit prompt lists of any size ≤ max_batch and
+get images back without recompilation.
+
+TPU notes: the engine compiles exactly one program per (batch, resolution)
+at startup (slow path paid once; persistent compile cache makes restarts
+fast); requests are padded to the compiled batch so every invocation is the
+same XLA executable at full MXU utilization.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.clip import CLIPTokenizer
+from fgdm_tpu.sampling.chain import A_PROMPT, N_PROMPT, fgdm_chain
+
+
+class ChainEngine:
+    def __init__(
+        self,
+        ld: LatentDiffusion,
+        cldm: ControlLDM,
+        tokenizer: Optional[CLIPTokenizer] = None,
+        max_batch: int = 4,
+        cond_hw=(256, 256),
+        image_hw=(512, 512),
+        f1_steps: int = 50,
+        f2_steps: int = 20,
+        f1_scale: float = 7.5,
+        f2_scale: float = 9.0,
+        warmup: bool = True,
+    ):
+        self.ld = ld
+        self.cldm = cldm
+        self.tok = tokenizer or CLIPTokenizer()
+        self.max_batch = max_batch
+        self.cond_hw = tuple(cond_hw)
+        self.image_hw = tuple(image_hw)
+        self._cfg = dict(f1_steps=f1_steps, f2_steps=f2_steps,
+                         f1_scale=f1_scale, f2_scale=f2_scale)
+
+        def run(ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx):
+            return fgdm_chain(
+                ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx,
+                cond_hw=self.cond_hw, image_hw=self.image_hw, **self._cfg,
+            )
+
+        self._run = jax.jit(run)
+        self._embed = jax.jit(
+            lambda ld, ids: ld.get_learned_conditioning(ids))
+        self.compile_seconds = None
+        if warmup:
+            t0 = time.perf_counter()
+            self._warmup()
+            self.compile_seconds = time.perf_counter() - t0
+
+    def _contexts(self, prompts: Sequence[str]):
+        b = self.max_batch
+        padded = list(prompts) + [""] * (b - len(prompts))
+        ids = jnp.asarray(self.tok(padded))
+        empty = jnp.asarray(self.tok([""] * b))
+        cn_p = jnp.asarray(self.tok([p + ", " + A_PROMPT for p in padded]))
+        cn_n = jnp.asarray(self.tok([N_PROMPT] * b))
+        return (self._embed(self.ld, ids), self._embed(self.ld, empty),
+                self._embed(self.cldm, cn_p), self._embed(self.cldm, cn_n))
+
+    def _warmup(self):
+        ctxs = self._contexts(["warmup"])
+        out = self._run(self.ld, self.cldm, jax.random.PRNGKey(0), *ctxs)
+        jax.block_until_ready(out["image"])
+
+    def generate(self, prompts: Sequence[str], seed: int = 0
+                 ) -> Dict[str, np.ndarray]:
+        """≤max_batch prompts → dict with uint8 'images' and 'conditions'."""
+        n = len(prompts)
+        if n == 0 or n > self.max_batch:
+            raise ValueError(
+                f"got {n} prompts; engine compiled for 1..{self.max_batch}")
+        ctxs = self._contexts(prompts)
+        out = self._run(self.ld, self.cldm, jax.random.PRNGKey(seed), *ctxs)
+        imgs = np.asarray(
+            jnp.clip((out["image"] + 1) / 2, 0, 1) * 255).astype(np.uint8)
+        conds = np.asarray(
+            jnp.clip(out["condition"], 0, 1) * 255).astype(np.uint8)
+        return {"images": imgs[:n], "conditions": conds[:n]}

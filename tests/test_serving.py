@@ -1,0 +1,63 @@
+"""ChainEngine serving tests (tiny models)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.autoencoder import AutoencoderKL
+from fgdm_tpu.models.clip import CLIPTextEncoder
+from fgdm_tpu.models.controlnet import ControlNet
+from fgdm_tpu.models.unet import UNetModel
+from fgdm_tpu.serving import ChainEngine
+
+KW = dict(model_channels=32, num_heads=4, context_dim=64,
+          channel_mult=(1, 2), attention_resolutions=(1, 2),
+          num_res_blocks=1, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                        resolution=64, dtype=jnp.float32)
+    clip = CLIPTextEncoder(vocab_size=49408, embed_dim=64, num_layers=2,
+                           num_heads=4)
+    ld = LatentDiffusion.create(UNetModel(**KW), vae, clip,
+                                jax.random.PRNGKey(0), latent_size=8)
+    cldm = ControlLDM.create_control(
+        UNetModel(**KW, use_adapter=False), vae, clip, ControlNet(**KW),
+        jax.random.PRNGKey(1), latent_size=8, control_scales=(1.0,) * 5)
+    return ChainEngine(ld, cldm, max_batch=2, cond_hw=(64, 64),
+                       image_hw=(64, 64), f1_steps=2, f2_steps=2)
+
+
+def test_generate_single(engine):
+    out = engine.generate(["a cat"], seed=1)
+    assert out["images"].shape == (1, 64, 64, 3)
+    assert out["images"].dtype == np.uint8
+    assert out["conditions"].shape == (1, 64, 64, 3)
+
+
+def test_generate_batch_and_padding(engine):
+    out = engine.generate(["a cat", "a dog"], seed=2)
+    assert out["images"].shape == (2, 64, 64, 3)
+    # padded single-prompt call returns only 1 image, runs same executable
+    out1 = engine.generate(["a cat"], seed=2)
+    np.testing.assert_array_equal(out1["images"][0], out["images"][0])
+
+
+def test_generate_rejects_overflow(engine):
+    with pytest.raises(ValueError):
+        engine.generate(["a"] * 3)
+    with pytest.raises(ValueError):
+        engine.generate([])
+
+
+def test_seed_determinism(engine):
+    a = engine.generate(["x"], seed=7)["images"]
+    b = engine.generate(["x"], seed=7)["images"]
+    c = engine.generate(["x"], seed=8)["images"]
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
