@@ -87,6 +87,9 @@ def diffusion_loss(
         target = noise
     elif parameterization == "x0":
         target = x_start
+    elif parameterization == "v":
+        # v-prediction (controlnet/ldm ddpm.py:82,290): v = a·eps − s·x0
+        target = ld.schedule.get_v(x_start, noise, t)
     else:
         raise NotImplementedError(parameterization)
 

@@ -66,7 +66,7 @@ def cfg_eps(
     scale: float,
 ) -> jnp.ndarray:
     """Classifier-free guidance with a single batched forward."""
-    if uncond is None or scale == 1.0:
+    if uncond is None or (isinstance(scale, (int, float)) and scale == 1.0):
         return denoise_fn(x, t, cond)
     x_in = jnp.concatenate([x, x], axis=0)
     t_in = jnp.concatenate([t, t], axis=0)
@@ -93,6 +93,7 @@ def ddim_sample(
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     schedule: Optional[DiffusionSchedule] = None,
+    ucg_schedule: Optional[jnp.ndarray] = None,  # [S] per-step CFG scales
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full DDIM sampling loop.
 
@@ -121,7 +122,9 @@ def ddim_sample(
                 x0, t, jax.random.normal(noise_rng, shape, jnp.float32)
             )
             x = img_orig * mask + (1.0 - mask) * x
-        e_t = cfg_eps(denoise_fn, x, t, cond, uncond, cfg_scale)
+        # per-step guidance-scale schedule (cldm ddim_hacked ucg_schedule)
+        scale = cfg_scale if ucg_schedule is None else ucg_schedule[i]
+        e_t = cfg_eps(denoise_fn, x, t, cond, uncond, scale)
         noise = (
             jax.random.normal(step_rng, shape, jnp.float32) if eta_on else None
         )

@@ -1,0 +1,86 @@
+"""Orbax checkpoint manager + v-param loss + ucg schedule tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgdm_tpu.checkpoint.orbax_io import CheckpointManager, load_pytree, save_pytree
+from fgdm_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+from fgdm_tpu.sampling.ddim import ddim_sample
+
+SD_ARGS = dict(linear_start=0.00085, linear_end=0.0120)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                       "b": jnp.zeros((3,))},
+            "step": jnp.asarray(7)}
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep=2)
+    assert mgr.save(0, tree, force=True)
+    mgr.wait()
+    restored = mgr.restore(0, target=tree)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(tree["params"]["w"]))
+    assert mgr.latest_step() == 0
+    mgr.close()
+
+
+def test_retention_policy(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "c"), keep=2,
+                            save_interval_steps=1)
+    tree = {"x": jnp.zeros((2,))}
+    for s in range(4):
+        mgr.save(s, tree, force=True)
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    mgr.close()
+
+
+def test_standalone_pytree_io(tmp_path):
+    tree = {"a": jnp.ones((4, 4))}
+    save_pytree(str(tmp_path / "single"), tree)
+    back = load_pytree(str(tmp_path / "single"), target=tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.ones((4, 4)))
+
+
+def test_v_param_loss():
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.diffusion.losses import diffusion_loss
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.unet import UNetModel
+
+    kw = dict(model_channels=32, num_heads=4, context_dim=64,
+              channel_mult=(1, 2), attention_resolutions=(1, 2),
+              num_res_blocks=1, dtype=jnp.float32)
+    ld = LatentDiffusion.create(
+        UNetModel(**kw),
+        AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1, resolution=32,
+                      dtype=jnp.float32),
+        CLIPTextEncoder(vocab_size=64, embed_dim=64, num_layers=1,
+                        num_heads=4),
+        jax.random.PRNGKey(0), latent_size=8, init_first_stage=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    cond = {"c_crossattn": jnp.zeros((2, 77, 64))}
+    loss, d = diffusion_loss(ld, jax.random.PRNGKey(2), x, cond,
+                             parameterization="v")
+    assert np.isfinite(float(loss))
+
+
+def test_ucg_schedule():
+    s = DiffusionSchedule.create(1000, "linear", **SD_ARGS)
+    d = DDIMSchedule.create(s, 4)
+    calls = []
+
+    def denoise(x, t, cond):
+        calls.append(x.shape[0])
+        return 0.1 * x
+
+    cond = {"c": jnp.zeros((1, 4))}
+    uncond = {"c": jnp.ones((1, 4))}
+    sched_scales = jnp.asarray([9.0, 7.0, 5.0, 1.0])
+    out, _ = ddim_sample(denoise, jax.random.PRNGKey(0), (1, 4, 4, 4), d,
+                         cond, uncond, cfg_scale=7.5,
+                         ucg_schedule=sched_scales)
+    assert np.all(np.isfinite(np.asarray(out)))
