@@ -131,6 +131,51 @@ def test_unet_backbone_parity(torch_ref):
                         atol=2e-4)
 
 
+@pytest.mark.slow
+def test_unet_adapter_parity_full_config(torch_ref):
+    """Adapter-path parity at the full SD-1.4 config — the reference
+    hardcodes the adapter to that layout (openaimodel.py:548-556,855-857),
+    so this is the only config where both paths run.  Slow (~2 min CPU)."""
+    torch = torch_ref
+    from ldm.modules.diffusionmodules.openaimodel import (
+        UNetModel as TorchUNet,
+    )
+
+    from fgdm_tpu.checkpoint.torch_ingest import ingest_unet
+    from fgdm_tpu.models.unet import UNetModel
+
+    torch.manual_seed(0)
+    tnet = TorchUNet(
+        image_size=32, in_channels=4, out_channels=4, model_channels=320,
+        num_res_blocks=2, attention_resolutions=[4, 2, 1],
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, legacy=False,
+    ).eval()
+    sd = {f"model.diffusion_model.{k}": v.detach().numpy()
+          for k, v in tnet.state_dict().items()}
+
+    unet = UNetModel(dtype=jnp.float32)  # full SD config + adapter
+    expect = jax.eval_shape(
+        lambda: unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 77, 768))))
+    params, missing, _ = ingest_unet(sd, expect=expect)
+    assert not missing, missing[:5]
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    t = np.array([100])
+    ctx = rng.standard_normal((1, 77, 768)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                   context=torch.from_numpy(ctx))
+    out = unet.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     jnp.asarray(t), jnp.asarray(ctx))
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.numpy().transpose(0, 2, 3, 1), atol=5e-4)
+
+
 def test_vae_parity(torch_ref):
     torch = torch_ref
     from ldm.models.autoencoder import AutoencoderKL as TorchVAE
