@@ -41,6 +41,7 @@ def build_unet(dtype=jnp.bfloat16, **p) -> UNetModel:
         use_adapter=not p.get("no_prompting", False),
         adapter_channels=p.get("adapter_channels"),
         use_time_adapter=p.get("use_time_adapter", False),
+        remat=p.get("use_checkpoint", False),
         dtype=dtype,
     )
 

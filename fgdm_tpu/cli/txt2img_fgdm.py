@@ -58,6 +58,13 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["autocast", "full"])
     p.add_argument("--vocab_dir", type=str, default=None,
                    help="dir with CLIP vocab.json+merges.txt")
+    # txt2img.py parity extras (scripts/txt2img.py:98-439)
+    p.add_argument("--use_original", action="store_true",
+                   help="frozen-SD teacher path (adapter disabled)")
+    p.add_argument("--from-file", dest="from_file", type=str, default=None,
+                   help="file with one prompt per line")
+    p.add_argument("--n_rows", type=int, default=0,
+                   help="grid row count (0 = no grid)")
     return p
 
 
@@ -95,6 +102,12 @@ def main(argv=None):
 
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
     b = opt.n_samples
+    if opt.from_file:
+        with open(opt.from_file) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+        if not prompts:
+            raise SystemExit(f"--from-file {opt.from_file} has no prompts")
+        opt.prompt = prompts[0]  # batch shares geometry; iterate n_iter
     prompt_ids = jnp.asarray(tok([opt.prompt] * b))
     empty_ids = jnp.asarray(tok([opt.n_prompt] * b))
     ctx = ld.get_learned_conditioning(prompt_ids)
@@ -112,17 +125,20 @@ def main(argv=None):
     cond = {"c_crossattn": ctx}
     uncond = {"c_crossattn": uc}
 
+    adapter_on = not opt.use_original
+
     @jax.jit
     def sample_f1(ld, rng):
+        fn = ld.denoise_fn(adapter_on=adapter_on)
         if opt.plms:
-            z, _ = plms_sample(ld.denoise_fn(), rng, shape, sched, cond,
+            z, _ = plms_sample(fn, rng, shape, sched, cond,
                                uncond, cfg_scale=opt.scale, x_T=x_T)
         elif opt.dpm:
-            z = dpm_solver_sample(ld.denoise_fn(), rng, shape, ld.schedule,
+            z = dpm_solver_sample(fn, rng, shape, ld.schedule,
                                   cond, uncond, cfg_scale=opt.scale,
                                   steps=opt.ddim_steps, x_T=x_T)
         else:
-            z, _ = ddim_sample(ld.denoise_fn(), rng, shape, sched, cond,
+            z, _ = ddim_sample(fn, rng, shape, sched, cond,
                                uncond, cfg_scale=opt.scale, x_T=x_T)
         return z, ld.decode_first_stage(z)
 
@@ -159,6 +175,11 @@ def main(argv=None):
         cond01 = np.asarray(
             jnp.clip((cond_img + 1.0) / 2.0, 0, 1) * 255
         ).astype(np.uint8)
+        if opt.n_rows > 0:
+            from fgdm_tpu.train.metrics import make_grid
+
+            Image.fromarray(make_grid(cond01, nrow=opt.n_rows)).save(
+                os.path.join(sample_path, f"grid_{it:02}.png"))
         for i, arr in enumerate(cond01):
             im = Image.fromarray(arr)
             if opt.resize:

@@ -126,11 +126,12 @@ class UNetModel(nn.Module):
         selfattn: Dict[str, jnp.ndarray] = {}
         crossattn: Dict[str, jnp.ndarray] = {}
 
-        def maybe_remat(mod_call):
-            return mod_call  # remat handled at diffusion-step level for now
+        # remat trades recompute for activation memory (the reference's
+        # use_checkpoint → torch CheckpointFunction, util.py:102-157)
+        res_cls = nn.remat(ResBlock) if self.remat else ResBlock
 
         def res(name, ch_in, ch_out, up=False, down=False):
-            return ResBlock(
+            return res_cls(
                 channels=ch_in, emb_channels=time_embed_dim, out_channels=ch_out,
                 use_scale_shift_norm=self.use_scale_shift_norm, up=up, down=down,
                 dtype=self.dtype, name=name,

@@ -131,13 +131,17 @@ def fgdm_chain(
         latent_hw=(cond_hw[0] // 8, cond_hw[1] // 8),
         num_steps=f1_steps, cfg_scale=f1_scale,
     )
-    hint = latent_to_condition_image(ld, z_cond, image_hw)
+    # one VAE decode serves both the returned condition map and the hint
+    cond_img = jnp.clip(
+        (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0
+    )
+    hint = quantize_like_png(cond_img)
+    b, h, w, c = hint.shape
+    hint = jax.image.resize(hint, (b, image_hw[0], image_hw[1], c),
+                            "bilinear")
     z_img = sample_image_factor(
         cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
         num_steps=f2_steps, cfg_scale=f2_scale,
     )
     image = cldm.decode_first_stage(z_img)
-    cond_img = jnp.clip(
-        (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0
-    )
     return {"condition": cond_img, "hint": hint, "image": image}
