@@ -1,0 +1,95 @@
+"""OpenPose + MLSD annotator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgdm_tpu.annotators.mlsd import (
+    MLSDdetector,
+    MobileV2MLSDLarge,
+    decode_lines,
+)
+from fgdm_tpu.annotators.openpose import (
+    LIMB_SEQ,
+    MAP_IDX,
+    BodyPoseNet,
+    OpenposeDetector,
+    find_peaks,
+    score_limbs,
+)
+
+
+def test_mlsd_net_shapes():
+    net = MobileV2MLSDLarge()
+    x = jnp.zeros((1, 128, 128, 4))
+    params = net.init(jax.random.PRNGKey(0), x)
+    tp = net.apply(params, x)
+    assert tp.shape == (1, 64, 64, 9)  # half-res 9-channel tpMap
+
+
+def test_mlsd_decode_synthetic():
+    """A synthetic center+displacement map decodes to the planted line."""
+    tp = np.zeros((64, 64, 9), np.float32)
+    tp[..., 0] = -10.0            # background logit
+    tp[30, 30, 0] = 10.0          # one strong junction
+    tp[30, 30, 1:5] = [-15, 0, 15, 0]  # horizontal line ±15 px
+    lines = decode_lines(tp, score_thr=0.1, dist_thr=20.0)
+    assert lines.shape == (1, 4)
+    x0, y0, x1, y1 = lines[0]
+    assert y0 == y1 == 60           # 2× grid
+    assert x1 - x0 == 60
+
+
+def test_mlsd_detector_end_to_end():
+    net = MobileV2MLSDLarge()
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 128, 128, 4)))))
+    det = MLSDdetector(params, net, input_size=128)
+    img = np.zeros((96, 96, 3), np.uint8)
+    out = det(img)
+    assert out.shape == (96, 96) and out.dtype == np.uint8
+
+
+def test_openpose_tables():
+    assert len(LIMB_SEQ) == len(MAP_IDX) == 19
+
+
+def test_bodypose_net_shapes():
+    net = BodyPoseNet()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    paf, heat = net.apply(params, x)
+    assert paf.shape == (1, 8, 8, 38)
+    assert heat.shape == (1, 8, 8, 19)
+
+
+def test_peaks_and_limbs_synthetic():
+    """Two planted keypoints joined by a consistent PAF produce one limb."""
+    heat = np.zeros((64, 64, 19), np.float32)
+    heat[17:24, 7:14, 1] = 1.0    # neck blob (part 2 → channel 1)
+    heat[17:24, 47:54, 2] = 1.0   # r-shoulder blob (part 3 → channel 2)
+    paf = np.zeros((64, 64, 38), np.float32)
+    m1, m2 = MAP_IDX[0]
+    paf[18:23, 10:51, m1 - 19] = 1.0   # unit x-direction field
+    peaks = find_peaks(heat, thre1=0.05)
+    assert len(peaks[1]) == 1 and len(peaks[2]) == 1
+    conns = score_limbs(paf, peaks)
+    assert len(conns[0]) == 1          # neck→shoulder limb found
+    ia, ib, score = conns[0][0]
+    assert score > 0.5
+
+
+def test_openpose_detector_end_to_end():
+    net = BodyPoseNet()
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 64, 64, 3)))))
+    det = OpenposeDetector(params, net)
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = det(img)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
