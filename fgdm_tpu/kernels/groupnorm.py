@@ -1,0 +1,177 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+GroupNorm's awkward TPU shape (channel-contiguous groups of C/32 ≪ 128
+lanes) is handled by computing the group reductions **on the MXU**: per-
+channel sums come from ``ones[1,N] @ x`` and group sums from a one-hot
+membership matmul ``[1,C] @ M[C,G]``; per-channel μ/σ are broadcast back
+through ``M @ stats``.  One elementwise pass then normalizes, applies the
+affine, and fuses the SiLU — a single HBM round trip for the whole
+norm+activation (the unfused path reads/writes the activation twice).
+
+Scoped to UNet-sized activations (N·C ≤ 4M elements fit VMEM); larger
+inputs (512² VAE decode) take the XLA fallback.  Used behind
+``fgdm_tpu.nn.layers.GroupNorm32(fused=True)``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
+_MAX_ELEMS = 4 * 1024 * 1024
+
+
+_ROW_CHUNK = 512
+
+
+def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, *, eps, count,
+            apply_silu, n_rows):
+    """Two row-chunked passes so only ~chunk-sized f32 temporaries live in
+    VMEM (a whole-block f32 copy OOMs scoped vmem at [4096, 320])."""
+    m = m_ref[...].astype(jnp.float32)            # [C, G]
+    c = m.shape[0]
+    ck = min(_ROW_CHUNK, n_rows)
+    n_chunks = n_rows // ck
+
+    def stats_body(i, carry):
+        colsum, colsq = carry
+        chunk = x_ref[0, pl.ds(i * ck, ck), :].astype(jnp.float32)
+        ones = jnp.ones((1, ck), jnp.float32)
+        # HIGHEST precision: TPU matmuls default to bf16 passes, which is
+        # not enough for mean/variance accumulation
+        colsum = colsum + jax.lax.dot_general(
+            ones, chunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        colsq = colsq + jax.lax.dot_general(
+            ones, chunk * chunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return colsum, colsq
+
+    colsum = jnp.zeros((1, c), jnp.float32)
+    colsq = jnp.zeros((1, c), jnp.float32)
+    colsum, colsq = jax.lax.fori_loop(0, n_chunks, stats_body,
+                                      (colsum, colsq))
+
+    gsum = jax.lax.dot_general(                   # [1, G]
+        colsum, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gsq = jax.lax.dot_general(
+        colsq, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mean_g = gsum / count
+    var_g = gsq / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels: [1,G] @ M^T → [1,C]
+    mean_c = jax.lax.dot_general(
+        mean_g, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot_general(
+        inv_g, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    scale = scale_ref[0].astype(jnp.float32)
+    bias = bias_ref[0].astype(jnp.float32)
+    mul = inv_c * scale
+    add = bias - mean_c * mul
+
+    def norm_body(i, _):
+        chunk = x_ref[0, pl.ds(i * ck, ck), :].astype(jnp.float32)
+        y = chunk * mul + add
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * ck, ck), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps",
+                                             "apply_silu"))
+def _fused(x, scale, bias, num_groups, eps, apply_silu):
+    b = x.shape[0]
+    c = x.shape[-1]
+    spatial = int(np.prod(x.shape[1:-1]))
+    x3 = x.reshape(b, spatial, c)
+    groups = np.repeat(np.arange(num_groups), c // num_groups)
+    m = jnp.asarray(np.eye(num_groups, dtype=np.float32)[groups])  # [C, G]
+    count = float(spatial * (c // num_groups))
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=float(eps), count=count,
+                          apply_silu=apply_silu, n_rows=spatial),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, spatial, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, spatial, c), lambda i: (i, 0, 0)),
+        interpret=_INTERPRET,
+    )(x3, scale.reshape(1, c), bias.reshape(1, c), m)
+    return out.reshape(x.shape)
+
+
+def _xla_group_norm(x, scale, bias, num_groups, eps, apply_silu):
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    spatial = xf.shape[1:-1]
+    xg = xf.reshape(xf.shape[0], -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape((xf.shape[0],) + spatial + (c,)) * scale + bias
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(orig_dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+    use_fused: Optional[bool] = None,
+) -> jnp.ndarray:
+    """GroupNorm → affine → (SiLU), fused on TPU when it fits VMEM."""
+    c = x.shape[-1]
+    elems = int(np.prod(x.shape[1:]))
+    if use_fused is None:
+        use_fused = (
+            _HAS_PLTPU and (_on_tpu() or _INTERPRET)
+            and c % num_groups == 0 and c >= 128
+            and elems <= _MAX_ELEMS
+            and (int(np.prod(x.shape[1:-1])) % _ROW_CHUNK == 0
+                 or int(np.prod(x.shape[1:-1])) <= _ROW_CHUNK)
+        )
+    if use_fused:
+        return _fused(x, scale.astype(jnp.float32),
+                      bias.astype(jnp.float32), num_groups, float(eps),
+                      apply_silu)
+    return _xla_group_norm(x, scale, bias, num_groups, eps, apply_silu)

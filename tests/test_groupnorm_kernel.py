@@ -1,0 +1,42 @@
+"""Fused GroupNorm+SiLU kernel tests (interpret mode = exact oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fgdm_tpu.kernels.groupnorm as gn
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 320), (1, 32, 32, 640),
+                                   (3, 4, 4, 1280)])
+def test_fused_matches_xla_interpret(shape, monkeypatch, np_rng):
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal(shape), jnp.float32)
+    s = jnp.asarray(np_rng.standard_normal(shape[-1]), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal(shape[-1]), jnp.float32)
+    ref = gn._xla_group_norm(x, s, b, 32, 1e-5, True)
+    out = gn.group_norm_silu(x, s, b, use_fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_without_silu(monkeypatch, np_rng):
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal((1, 16, 16, 256)), jnp.float32)
+    s = jnp.ones(256)
+    b = jnp.zeros(256)
+    out = gn.group_norm_silu(x, s, b, apply_silu=False, use_fused=True)
+    # normalized output: zero mean/unit var per group
+    g = np.asarray(out, np.float64).reshape(1, -1, 32, 8)
+    np.testing.assert_allclose(g.mean((1, 3)), 0, atol=1e-4)
+    np.testing.assert_allclose(g.var((1, 3)), 1, atol=1e-3)
+
+
+def test_dispatch_gating():
+    """Oversized / misaligned inputs fall back to XLA (no crash)."""
+    x = jnp.zeros((1, 512, 512, 128))  # > _MAX_ELEMS → fallback
+    out = gn.group_norm_silu(x, jnp.ones(128), jnp.zeros(128))
+    assert out.shape == x.shape
+    x2 = jnp.zeros((1, 4, 4, 48))      # c < 128 → fallback
+    out2 = gn.group_norm_silu(x2, jnp.ones(48), jnp.zeros(48), num_groups=16)
+    assert out2.shape == x2.shape
