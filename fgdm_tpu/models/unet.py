@@ -62,6 +62,7 @@ class UNetModel(nn.Module):
     # TPU execution
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    fused_norm_silu: bool = False   # Pallas GroupNorm+SiLU in ResBlocks
 
     def _heads_for(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
@@ -134,7 +135,7 @@ class UNetModel(nn.Module):
             return res_cls(
                 channels=ch_in, emb_channels=time_embed_dim, out_channels=ch_out,
                 use_scale_shift_norm=self.use_scale_shift_norm, up=up, down=down,
-                dtype=self.dtype, name=name,
+                fused_norm=self.fused_norm_silu, dtype=self.dtype, name=name,
             )
 
         def attn(name, ch, prefix):

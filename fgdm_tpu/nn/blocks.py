@@ -18,6 +18,7 @@ from flax import linen as nn
 from fgdm_tpu.nn.layers import (
     Conv2d,
     Dense,
+    FusedGroupNormSiLU,
     GroupNorm32,
     avg_pool_2x2,
     nearest_upsample_2x,
@@ -69,14 +70,18 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = False
     up: bool = False
     down: bool = False
+    fused_norm: bool = False        # Pallas GroupNorm+SiLU (same params)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or self.channels
 
-        h = GroupNorm32(name="in_norm")(x)
-        h = silu(h)
+        if self.fused_norm:
+            h = FusedGroupNormSiLU(name="in_norm")(x)
+        else:
+            h = GroupNorm32(name="in_norm")(x)
+            h = silu(h)
         if self.up:
             h = nearest_upsample_2x(h)
             x = nearest_upsample_2x(x)
@@ -95,6 +100,8 @@ class ResBlock(nn.Module):
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
             h = silu(h)
+        elif self.fused_norm:
+            h = FusedGroupNormSiLU(name="out_norm")(h + emb_out)
         else:
             h = h + emb_out
             h = GroupNorm32(name="out_norm")(h)

@@ -74,6 +74,24 @@ class GroupNorm32(nn.Module):
         return x.astype(orig_dtype)
 
 
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm+SiLU with the same param schema as GroupNorm32, routed
+    through the Pallas fused kernel on TPU (kernels/groupnorm.py)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from fgdm_tpu.kernels.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, scale, bias, num_groups=self.num_groups,
+                               eps=self.eps, apply_silu=True)
+
+
 class LayerNorm32(nn.Module):
     """LayerNorm computed in float32 (fp16/bf16-safe)."""
 
