@@ -1,0 +1,126 @@
+"""End-to-end training-CLI integration: config YAML → data → mesh →
+pjit steps → checkpoints → metrics, on a synthetic COCO tree."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_cli")
+    data = root / "coco"
+    rng = np.random.default_rng(0)
+    (data / "images" / "train2017").mkdir(parents=True)
+    (data / "annotations" / "train2017").mkdir(parents=True)
+    anns = []
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (80, 70, 3)).astype(np.uint8)
+                        ).save(data / "images" / "train2017" / f"{i:012d}.jpg")
+        Image.fromarray(rng.integers(0, 20, (80, 70)).astype(np.uint8)
+                        ).save(data / "annotations" / "train2017" / f"{i:012d}.png")
+        anns.append({"image_id": i, "caption": f"thing {i}"})
+    with open(data / "annotations" / "captions_train2017.json", "w") as f:
+        json.dump({"annotations": anns}, f)
+
+    cfg = {
+        "model": {
+            "base_learning_rate": 1e-4,
+            "target": "ldm.models.diffusion.ddpm.LatentDiffusion",
+            "params": {
+                "image_size": 8,
+                "scale_factor": 0.18215,
+                "linear_start": 0.00085,
+                "linear_end": 0.0120,
+                "freeze_backbone": True,
+                "use_ema": True,
+                "apply_distill_loss": False,
+                "unet_config": {
+                    "target": "ldm.modules.diffusionmodules.openaimodel.UNetModel",
+                    "params": {
+                        "model_channels": 32, "num_heads": 4,
+                        "context_dim": 64, "channel_mult": [1, 2],
+                        "attention_resolutions": [1, 2],
+                        "num_res_blocks": 1,
+                    },
+                },
+                "first_stage_config": {
+                    "target": "ldm.models.autoencoder.AutoencoderKL",
+                    "params": {"embed_dim": 4, "ddconfig": {
+                        "ch": 32, "ch_mult": [1, 2], "num_res_blocks": 1,
+                        "resolution": 64, "z_channels": 4, "double_z": True,
+                        "in_channels": 3, "out_ch": 3,
+                        "attn_resolutions": [],
+                    }},
+                },
+                "cond_stage_config": {
+                    "target": "ldm.modules.encoders.modules.FrozenCLIPEmbedder",
+                },
+            },
+        },
+        "data": {
+            "target": "main.DataModuleFromConfig",
+            "params": {
+                "batch_size": 8,
+                "train": {
+                    "target": "ldm.data.semantic.load_data",
+                    "params": {"dataset_mode": "coco",
+                               "data_dir": str(data),
+                               "image_size": 32, "is_train": True},
+                },
+            },
+        },
+    }
+    cfg_path = root / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return root, cfg_path
+
+
+def _tiny_clip(monkeypatch):
+    """Shrink the CLIP tower so the test stays fast."""
+    import jax.numpy as jnp
+
+    from fgdm_tpu import builders
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+
+    monkeypatch.setattr(
+        builders, "build_clip",
+        lambda dtype=jnp.bfloat16, **p: CLIPTextEncoder(
+            vocab_size=49408, embed_dim=64, num_layers=1, num_heads=4,
+            dtype=dtype),
+    )
+
+
+def test_train_cli_two_steps(workspace, monkeypatch):
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    from fgdm_tpu.cli import train as train_cli
+
+    logdir = root / "logs"
+    train_cli.main([
+        "-b", str(cfg_path), "-t", "--max_steps", "2",
+        "-l", str(logdir), "-n", "tinyrun", "--seed", "7",
+        "model.params.unet_config.params.model_channels=32",
+    ])
+    runs = list(logdir.iterdir())
+    assert len(runs) == 1
+    run = runs[0]
+    # config snapshot + checkpoints written
+    assert any(p.suffix == ".yaml" for p in (run / "configs").iterdir())
+    assert (run / "checkpoints").exists()
+    ckpts = list((run / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint saved"
+
+
+def test_train_cli_validate_only(workspace, monkeypatch):
+    """Without -t the CLI validates config and exits cleanly."""
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    from fgdm_tpu.cli import train as train_cli
+
+    train_cli.main(["-b", str(cfg_path), "-l", str(root / "logs2")])
