@@ -39,66 +39,64 @@ _MAX_ELEMS = 4 * 1024 * 1024
 _ROW_CHUNK = 512
 
 
-def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, *, eps, count,
-            apply_silu, n_rows):
-    """Two row-chunked passes so only ~chunk-sized f32 temporaries live in
-    VMEM (a whole-block f32 copy OOMs scoped vmem at [4096, 320])."""
-    m = m_ref[...].astype(jnp.float32)            # [C, G]
-    c = m.shape[0]
-    ck = min(_ROW_CHUNK, n_rows)
-    n_chunks = n_rows // ck
+def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,
+            count, apply_silu):
+    """Two-phase chunked grid: phase 0 accumulates per-channel sums into a
+    VMEM scratch that persists across the (sequential) TPU grid; phase 1
+    normalizes each chunk.  Only chunk-sized blocks ever sit in VMEM, so
+    arbitrarily large N·C works (a whole-array block OOMs scoped vmem at
+    UNet skip-concat widths like 4096x960)."""
+    phase = pl.program_id(1)
+    i = pl.program_id(2)
 
-    def stats_body(i, carry):
-        colsum, colsq = carry
-        chunk = x_ref[0, pl.ds(i * ck, ck), :].astype(jnp.float32)
-        ones = jnp.ones((1, ck), jnp.float32)
+    @pl.when(jnp.logical_and(phase == 0, i == 0))
+    def _():
+        stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        chunk = x_ref[0].astype(jnp.float32)          # [ck, C]
+        ones = jnp.ones((1, chunk.shape[0]), jnp.float32)
         # HIGHEST precision: TPU matmuls default to bf16 passes, which is
         # not enough for mean/variance accumulation
-        colsum = colsum + jax.lax.dot_general(
+        colsum = jax.lax.dot_general(
             ones, chunk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        colsq = colsq + jax.lax.dot_general(
+        colsq = jax.lax.dot_general(
             ones, chunk * chunk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        return colsum, colsq
+        stats_ref[0:1, :] += colsum
+        stats_ref[1:2, :] += colsq
 
-    colsum = jnp.zeros((1, c), jnp.float32)
-    colsq = jnp.zeros((1, c), jnp.float32)
-    colsum, colsq = jax.lax.fori_loop(0, n_chunks, stats_body,
-                                      (colsum, colsq))
-
-    gsum = jax.lax.dot_general(                   # [1, G]
-        colsum, m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    gsq = jax.lax.dot_general(
-        colsq, m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    mean_g = gsum / count
-    var_g = gsq / count - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast group stats back to channels: [1,G] @ M^T → [1,C]
-    mean_c = jax.lax.dot_general(
-        mean_g, m, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    inv_c = jax.lax.dot_general(
-        inv_g, m, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    scale = scale_ref[0].astype(jnp.float32)
-    bias = bias_ref[0].astype(jnp.float32)
-    mul = inv_c * scale
-    add = bias - mean_c * mul
-
-    def norm_body(i, _):
-        chunk = x_ref[0, pl.ds(i * ck, ck), :].astype(jnp.float32)
-        y = chunk * mul + add
+    @pl.when(phase == 1)
+    def _():
+        m = m_ref[...].astype(jnp.float32)            # [C, G]
+        colsum = stats_ref[0:1, :]
+        colsq = stats_ref[1:2, :]
+        gsum = jax.lax.dot_general(                   # [1, G]
+            colsum, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gsq = jax.lax.dot_general(
+            colsq, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mean_g = gsum / count
+        var_g = gsq / count - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        # broadcast group stats back to channels: [1,G] @ M^T -> [1,C]
+        mean_c = jax.lax.dot_general(
+            mean_g, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        inv_c = jax.lax.dot_general(
+            inv_g, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mul = inv_c * scale_ref[...].astype(jnp.float32)
+        add = bias_ref[...].astype(jnp.float32) - mean_c * mul
+        y = x_ref[0].astype(jnp.float32) * mul + add
         if apply_silu:
             y = y * jax.nn.sigmoid(y)
-        o_ref[0, pl.ds(i * ck, ck), :] = y.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
+        o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps",
@@ -107,22 +105,25 @@ def _fused(x, scale, bias, num_groups, eps, apply_silu):
     b = x.shape[0]
     c = x.shape[-1]
     spatial = int(np.prod(x.shape[1:-1]))
+    ck = min(_ROW_CHUNK, spatial)
+    n_chunks = spatial // ck
     x3 = x.reshape(b, spatial, c)
     groups = np.repeat(np.arange(num_groups), c // num_groups)
     m = jnp.asarray(np.eye(num_groups, dtype=np.float32)[groups])  # [C, G]
     count = float(spatial * (c // num_groups))
     out = pl.pallas_call(
         functools.partial(_kernel, eps=float(eps), count=count,
-                          apply_silu=apply_silu, n_rows=spatial),
+                          apply_silu=apply_silu),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
-        grid=(b,),
+        grid=(b, 2, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, spatial, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
+            pl.BlockSpec((1, ck, c), lambda bb, p, i: (bb, i, 0)),
+            pl.BlockSpec((1, c), lambda bb, p, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda bb, p, i: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda bb, p, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, spatial, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, ck, c), lambda bb, p, i: (bb, i, 0)),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=_INTERPRET,
     )(x3, scale.reshape(1, c), bias.reshape(1, c), m)
     return out.reshape(x.shape)
@@ -166,7 +167,6 @@ def group_norm_silu(
         use_fused = (
             _HAS_PLTPU and (_on_tpu() or _INTERPRET)
             and c % num_groups == 0 and c >= 128
-            and elems <= _MAX_ELEMS
             and (int(np.prod(x.shape[1:-1])) % _ROW_CHUNK == 0
                  or int(np.prod(x.shape[1:-1])) <= _ROW_CHUNK)
         )

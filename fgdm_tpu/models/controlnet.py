@@ -40,6 +40,7 @@ class ControlNet(nn.Module):
     context_dim: Optional[int] = 768
     use_scale_shift_norm: bool = False
     conv_resample: bool = True
+    fused_norm_silu: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def _heads_for(self, ch: int) -> Tuple[int, int]:
@@ -77,6 +78,7 @@ class ControlNet(nn.Module):
             return ResBlock(channels=ch_in, emb_channels=time_embed_dim,
                             out_channels=ch_out,
                             use_scale_shift_norm=self.use_scale_shift_norm,
+                            fused_norm=self.fused_norm_silu,
                             dtype=self.dtype, name=name)
 
         def zero_conv(name, h):
