@@ -72,7 +72,7 @@ def build_pipeline():
     unet = UNetModel(dtype=dtype, fused_norm_silu=True)  # FG-DM UNet + adapter
     cn_unet = UNetModel(dtype=dtype, use_adapter=False, fused_norm_silu=True)
     cn = ControlNet(dtype=dtype, fused_norm_silu=True)
-    vae = AutoencoderKL(dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype, fused_norm=True)
     clip = CLIPTextEncoder(dtype=dtype)
     sched = DiffusionSchedule.create(
         1000, "linear", linear_start=0.00085, linear_end=0.0120

@@ -34,16 +34,23 @@ class VaeResnetBlock(nn.Module):
     in_channels: int
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
+    fused_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from fgdm_tpu.nn.layers import FusedGroupNormSiLU
+
         out_ch = self.out_channels or self.in_channels
-        h = GroupNorm32(eps=1e-6, name="norm1")(x)
-        h = swish(h)
+
+        def norm_act(h, name):
+            if self.fused_norm:
+                return FusedGroupNormSiLU(eps=1e-6, name=name)(h)
+            return swish(GroupNorm32(eps=1e-6, name=name)(h))
+
+        h = norm_act(x, "norm1")
         h = Conv2d(out_ch, kernel_size=3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, name="norm2")(h)
-        h = swish(h)
+        h = norm_act(h, "norm2")
         h = Conv2d(out_ch, kernel_size=3, dtype=self.dtype, name="conv2")(h)
         if self.in_channels != out_ch:
             if self.conv_shortcut:
@@ -114,6 +121,7 @@ class Encoder(nn.Module):
     resolution: int = 256
     z_channels: int = 4
     double_z: bool = True
+    fused_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,6 +136,7 @@ class Encoder(nn.Module):
             for i_block in range(self.num_res_blocks):
                 h = VaeResnetBlock(
                     in_channels=block_in, out_channels=block_out,
+                    fused_norm=self.fused_norm,
                     dtype=self.dtype, name=f"down_{i_level}_block_{i_block}",
                 )(h)
                 block_in = block_out
@@ -138,11 +147,11 @@ class Encoder(nn.Module):
                 h = VaeDownsample(dtype=self.dtype,
                                   name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
-        h = VaeResnetBlock(in_channels=block_in, dtype=self.dtype,
-                           name="mid_block_1")(h)
+        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                           dtype=self.dtype, name="mid_block_1")(h)
         h = VaeAttnBlock(block_in, dtype=self.dtype, name="mid_attn_1")(h)
-        h = VaeResnetBlock(in_channels=block_in, dtype=self.dtype,
-                           name="mid_block_2")(h)
+        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                           dtype=self.dtype, name="mid_block_2")(h)
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = swish(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
@@ -158,6 +167,7 @@ class Decoder(nn.Module):
     resolution: int = 256
     z_channels: int = 4
     tanh_out: bool = False
+    fused_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,16 +176,17 @@ class Decoder(nn.Module):
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
         h = Conv2d(block_in, kernel_size=3, dtype=self.dtype, name="conv_in")(z)
-        h = VaeResnetBlock(in_channels=block_in, dtype=self.dtype,
-                           name="mid_block_1")(h)
+        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                           dtype=self.dtype, name="mid_block_1")(h)
         h = VaeAttnBlock(block_in, dtype=self.dtype, name="mid_attn_1")(h)
-        h = VaeResnetBlock(in_channels=block_in, dtype=self.dtype,
-                           name="mid_block_2")(h)
+        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                           dtype=self.dtype, name="mid_block_2")(h)
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 h = VaeResnetBlock(
                     in_channels=block_in, out_channels=block_out,
+                    fused_norm=self.fused_norm,
                     dtype=self.dtype, name=f"up_{i_level}_block_{i_block}",
                 )(h)
                 block_in = block_out
@@ -239,6 +250,7 @@ class AutoencoderKL(nn.Module):
     resolution: int = 256
     z_channels: int = 4
     double_z: bool = True
+    fused_norm: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -246,13 +258,14 @@ class AutoencoderKL(nn.Module):
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, in_channels=self.in_channels,
             resolution=self.resolution, z_channels=self.z_channels,
-            double_z=self.double_z, dtype=self.dtype,
+            double_z=self.double_z, fused_norm=self.fused_norm,
+            dtype=self.dtype,
         )
         self.decoder = Decoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, out_ch=self.out_ch,
             resolution=self.resolution, z_channels=self.z_channels,
-            dtype=self.dtype,
+            fused_norm=self.fused_norm, dtype=self.dtype,
         )
         self.quant_conv = Conv2d(2 * self.embed_dim, kernel_size=1, padding=0,
                                  dtype=self.dtype, name="quant_conv")
