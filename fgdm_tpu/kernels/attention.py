@@ -27,6 +27,9 @@ from jax.experimental import pallas as pl
 _INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
 # A/B kill-switch for macro benchmarking.
 _DISABLE_FLASH = os.environ.get("FGDM_DISABLE_FLASH", "0") == "1"
+# Minimum sequence length for the flash path (tunable: at small N the XLA
+# einsum path with materialized scores can win since d≪128 pads 3×).
+_FLASH_MIN_N = int(os.environ.get("FGDM_FLASH_MIN_N", "512"))
 
 try:  # pallas TPU backend only exists on TPU builds
     from jax.experimental.pallas import tpu as pltpu
@@ -165,8 +168,8 @@ def multihead_attention(q, k, v, scale=None, use_flash=None):
             _HAS_PLTPU
             and not _DISABLE_FLASH
             and _on_tpu()
-            and nq >= 512
-            and nk >= 512
+            and nq >= _FLASH_MIN_N
+            and nk >= _FLASH_MIN_N
             and nk % 512 == 0
         )
     if use_flash:

@@ -36,7 +36,7 @@ _INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
 _MAX_ELEMS = 4 * 1024 * 1024
 
 
-_ROW_CHUNK = 512
+_ROW_CHUNK = int(os.environ.get("FGDM_GN_ROW_CHUNK", "512"))
 
 
 def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,

@@ -93,6 +93,75 @@ class Adapter(nn.Module):
         return tuple(features)
 
 
+class ResnetBlockLight(nn.Module):
+    """conv3×3 → ReLU → conv3×3 with identity skip (adapter.py:420-432)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv2d(self.channels, kernel_size=3, dtype=self.dtype,
+                   name="block1")(x)
+        h = jax.nn.relu(h)
+        h = Conv2d(self.channels, kernel_size=3, dtype=self.dtype,
+                   name="block2")(h)
+        return h + x
+
+
+class Extractor(nn.Module):
+    """1×1 in → N light blocks → 1×1 out, optional avg-pool down
+    (adapter.py:435-456)."""
+
+    inter_c: int
+    out_c: int
+    nums_rb: int = 3
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.down:
+            x = avg_pool_2x2(x)
+        x = Conv2d(self.inter_c, kernel_size=1, padding=0, dtype=self.dtype,
+                   name="in_conv")(x)
+        for i in range(self.nums_rb):
+            x = ResnetBlockLight(self.inter_c, dtype=self.dtype,
+                                 name=f"body_{i}")(x)
+        return Conv2d(self.out_c, kernel_size=1, padding=0, dtype=self.dtype,
+                      name="out_conv")(x)
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
+    """NHWC space-to-depth (torch PixelUnshuffle equivalent)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // factor, w // factor, c * factor * factor)
+
+
+class AdapterLight(nn.Module):
+    """Pixel-unshuffle light adapter (adapter.py:458-481): the 8× space-to-
+    depth input feeds a 4-scale extractor pyramid at quarter inner width."""
+
+    channels: Sequence[int] = (320, 640, 1280, 1280)
+    nums_rb: int = 3
+    cin: int = 192   # 3 × 8² after unshuffle
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, ...]:
+        del emb
+        x = pixel_unshuffle(x, 8)
+        features = []
+        for i, ch in enumerate(self.channels):
+            x = Extractor(inter_c=ch // 4, out_c=ch, nums_rb=self.nums_rb,
+                          down=i > 0, dtype=self.dtype, name=f"body_{i}")(x)
+            features.append(x)
+        return tuple(features)
+
+
 class TimeAdapter(nn.Module):
     """Adapter whose blocks are timestep-conditioned UNet ResBlocks."""
 
