@@ -1,0 +1,80 @@
+"""HTTP serving front-end tests (real socket, tiny engine)."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fgdm_tpu.diffusion.control import ControlLDM
+from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.autoencoder import AutoencoderKL
+from fgdm_tpu.models.clip import CLIPTextEncoder
+from fgdm_tpu.models.controlnet import ControlNet
+from fgdm_tpu.models.unet import UNetModel
+from fgdm_tpu.server import serve
+from fgdm_tpu.serving import ChainEngine
+
+KW = dict(model_channels=32, num_heads=4, context_dim=64,
+          channel_mult=(1, 2), attention_resolutions=(1, 2),
+          num_res_blocks=1, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                        resolution=64, dtype=jnp.float32)
+    clip = CLIPTextEncoder(vocab_size=49408, embed_dim=64, num_layers=1,
+                           num_heads=4)
+    ld = LatentDiffusion.create(UNetModel(**KW), vae, clip,
+                                jax.random.PRNGKey(0), latent_size=8)
+    cldm = ControlLDM.create_control(
+        UNetModel(**KW, use_adapter=False), vae, clip, ControlNet(**KW),
+        jax.random.PRNGKey(1), latent_size=8, control_scales=(1.0,) * 5)
+    engine = ChainEngine(ld, cldm, max_batch=2, cond_hw=(64, 64),
+                         image_hw=(64, 64), f1_steps=2, f2_steps=2)
+    port = 8517
+    t = threading.Thread(target=serve,
+                         args=(engine, "127.0.0.1", port),
+                         kwargs={"max_requests": 4}, daemon=True)
+    t.start()
+    yield port
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server_port):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server_port}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok" and body["max_batch"] == 2
+
+
+def test_generate(server_port):
+    status, body = _post(server_port, {"prompts": ["a cat"], "seed": 3})
+    assert status == 200
+    assert len(body["images"]) == 1 and len(body["conditions"]) == 1
+    png = base64.b64decode(body["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert body["latency_s"] > 0
+
+
+def test_generate_rejects_bad_requests(server_port):
+    status, body = _post(server_port, {"prompts": []})
+    assert status == 400 and "prompts" in body["error"]
+    status, body = _post(server_port, {"prompts": ["a", "b", "c"]})
+    assert status == 400 and "at most 2" in body["error"]
