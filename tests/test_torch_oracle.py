@@ -62,8 +62,9 @@ def torch_ref():
     mkmod("pytorch_lightning.utilities.distributed",
           rank_zero_only=lambda f: f)
     pl.utilities = u
-    mkmod("torchvision")
-    mkmod("torchvision.utils", make_grid=lambda *a, **k: None)
+    mkmod("torchvision").__path__ = []
+    mkmod("torchvision.utils", make_grid=lambda *a, **k: None,
+          save_image=lambda *a, **k: None)
 
     class _VQ(torch.nn.Module):
         def __init__(self, *a, **k):
@@ -268,6 +269,95 @@ def test_controlnet_parity(torch_ref):
     for o, r in zip(outs, ref):
         np.testing.assert_allclose(
             np.asarray(o), r.numpy().transpose(0, 2, 3, 1), atol=3e-4)
+
+
+def test_ddim_sampler_trajectory_parity(torch_ref):
+    """Our scan DDIM vs the reference's actual DDIMSampler code: identical
+    trajectories for the same eps model and x_T (eta 0, with and without
+    CFG)."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.util import make_beta_schedule
+
+    from fgdm_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    class StubModel:
+        def __init__(self):
+            betas = make_beta_schedule("linear", 1000,
+                                       linear_start=0.00085,
+                                       linear_end=0.0120)
+            alphas = 1.0 - betas
+            self.alphas_cumprod = torch.tensor(np.cumprod(alphas),
+                                               dtype=torch.float64)
+            self.alphas_cumprod_prev = torch.tensor(
+                np.append(1.0, np.cumprod(alphas)[:-1]))
+            self.betas = torch.tensor(betas)
+            self.num_timesteps = 1000
+            self.device = torch.device("cpu")
+            self.sqrt_one_minus_alphas_cumprod = torch.sqrt(
+                1.0 - self.alphas_cumprod)
+            self.parameterization = "eps"
+
+        def apply_model(self, x, t, c, **kw):
+            a = self.alphas_cumprod[t.long()].view(-1, 1, 1, 1).float()
+            base = torch.sqrt(1 - a) * x
+            if c is not None:            # cond shifts eps by a constant
+                base = base + 0.05 * c.view(-1, 1, 1, 1)
+            return base
+
+    DDIMSampler.register_buffer = lambda self, name, attr: setattr(
+        self, name, attr)  # avoid the hardcoded .cuda()
+    stub = StubModel()
+    sampler = DDIMSampler(stub)
+
+    sched = DiffusionSchedule.create(1000, "linear", linear_start=0.00085,
+                                     linear_end=0.0120)
+    d = DDIMSchedule.create(sched, 10, eta=0.0)
+    acp = jnp.asarray(np.asarray(stub.alphas_cumprod, np.float32))
+
+    rng = np.random.default_rng(0)
+    x_T = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+
+    # --- no CFG -----------------------------------------------------------
+    ref, _ = sampler.sample(S=10, batch_size=1, shape=(4, 8, 8),
+                            conditioning=None,
+                            x_T=torch.from_numpy(x_T.copy()),
+                            verbose=False, eta=0.0,
+                            unconditional_guidance_scale=1.0)
+
+    def den(x, t, c):
+        a = acp[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+        eps = jnp.sqrt(1 - a) * x
+        if c is not None:
+            eps = eps + 0.05 * c["v"].reshape(-1, 1, 1, 1)
+        return eps
+
+    ours, _ = ddim_sample(den, jax.random.PRNGKey(0),
+                          (1, 8, 8, 4), d, None, cfg_scale=1.0,
+                          x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+    # --- with CFG (uncond + cond, scale 7.5) ------------------------------
+    c_t = torch.full((1, 1), 2.0)
+    uc_t = torch.zeros((1, 1))
+    ref_cfg, _ = sampler.sample(S=10, batch_size=1, shape=(4, 8, 8),
+                                conditioning=c_t,
+                                x_T=torch.from_numpy(x_T.copy()),
+                                verbose=False, eta=0.0,
+                                unconditional_guidance_scale=7.5,
+                                unconditional_conditioning=uc_t)
+    ours_cfg, _ = ddim_sample(
+        den, jax.random.PRNGKey(0), (1, 8, 8, 4), d,
+        cond={"v": jnp.full((1, 1), 2.0)},
+        uncond={"v": jnp.zeros((1, 1))}, cfg_scale=7.5,
+        x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours_cfg), ref_cfg.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4)
 
 
 def test_clip_text_parity(torch_ref):
