@@ -360,6 +360,106 @@ def test_ddim_sampler_trajectory_parity(torch_ref):
         atol=1e-4)
 
 
+def test_plms_trajectory_parity(torch_ref):
+    """Our PLMS scan vs the reference PLMSSampler: same multistep
+    trajectory (order-4 warm start included)."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.models.diffusion.plms import PLMSSampler
+    from ldm.modules.diffusionmodules.util import make_beta_schedule
+
+    from fgdm_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from fgdm_tpu.sampling.plms import plms_sample
+
+    class StubModel:
+        def __init__(self):
+            betas = make_beta_schedule("linear", 1000,
+                                       linear_start=0.00085,
+                                       linear_end=0.0120)
+            alphas = 1.0 - betas
+            self.alphas_cumprod = torch.tensor(np.cumprod(alphas),
+                                               dtype=torch.float64)
+            self.alphas_cumprod_prev = torch.tensor(
+                np.append(1.0, np.cumprod(alphas)[:-1]))
+            self.betas = torch.tensor(betas)
+            self.num_timesteps = 1000
+            self.device = torch.device("cpu")
+            self.sqrt_one_minus_alphas_cumprod = torch.sqrt(
+                1.0 - self.alphas_cumprod)
+            self.parameterization = "eps"
+
+        def apply_model(self, x, t, c, **kw):
+            a = self.alphas_cumprod[t.long()].view(-1, 1, 1, 1).float()
+            return torch.sqrt(1 - a) * x
+
+    PLMSSampler.register_buffer = lambda self, name, attr: setattr(
+        self, name, attr)
+    stub = StubModel()
+    sampler = PLMSSampler(stub)
+    rng = np.random.default_rng(1)
+    x_T = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    ref, _ = sampler.sample(S=10, batch_size=1, shape=(4, 8, 8),
+                            conditioning=None,
+                            x_T=torch.from_numpy(x_T.copy()),
+                            verbose=False, eta=0.0,
+                            unconditional_guidance_scale=1.0)
+
+    sched = DiffusionSchedule.create(1000, "linear", linear_start=0.00085,
+                                     linear_end=0.0120)
+    d = DDIMSchedule.create(sched, 10, eta=0.0)
+    acp = jnp.asarray(np.asarray(stub.alphas_cumprod, np.float32))
+
+    def den(x, t, c):
+        a = acp[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+        return jnp.sqrt(1 - a) * x
+
+    ours, _ = plms_sample(den, jax.random.PRNGKey(0), (1, 8, 8, 4), d,
+                          None, cfg_scale=1.0,
+                          x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+
+def test_cross_attention_capture_parity(torch_ref):
+    """Our (out, head-averaged pre-softmax scores) contract vs the
+    reference CrossAttention module."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.modules.attention import CrossAttention as TorchCA
+
+    from fgdm_tpu.checkpoint.torch_ingest import _linear_kernel
+    from fgdm_tpu.nn.attention import CrossAttention
+
+    torch.manual_seed(0)
+    tca = TorchCA(query_dim=64, context_dim=48, heads=4, dim_head=16).eval()
+    sd = tca.state_dict()
+    params = {"params": {
+        "to_q": {"kernel": jnp.asarray(_linear_kernel(
+            sd["to_q.weight"].numpy()))},
+        "to_k": {"kernel": jnp.asarray(_linear_kernel(
+            sd["to_k.weight"].numpy()))},
+        "to_v": {"kernel": jnp.asarray(_linear_kernel(
+            sd["to_v.weight"].numpy()))},
+        "to_out": {"kernel": jnp.asarray(_linear_kernel(
+            sd["to_out.0.weight"].numpy())),
+                   "bias": jnp.asarray(sd["to_out.0.bias"].numpy())},
+    }}
+    ours = CrossAttention(query_dim=64, context_dim=48, heads=4, dim_head=16,
+                          dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 10, 64)).astype(np.float32)
+    ctx = rng.standard_normal((2, 7, 48)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_probs = tca(torch.from_numpy(x), context=torch.from_numpy(ctx))
+    j_out, j_probs = ours.apply(params, jnp.asarray(x),
+                                context=jnp.asarray(ctx), capture=True)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_probs), t_probs.numpy(),
+                               atol=2e-5)
+
+
 def test_clip_text_parity(torch_ref):
     """HF CLIPTextModel (random init) vs our text tower after ingest."""
     torch = torch_ref
