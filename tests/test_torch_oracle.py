@@ -65,6 +65,8 @@ def torch_ref():
     mkmod("torchvision").__path__ = []
     mkmod("torchvision.utils", make_grid=lambda *a, **k: None,
           save_image=lambda *a, **k: None)
+    mkmod("torchvision.transforms", ToTensor=object, Compose=object,
+          Resize=object, Normalize=object)
 
     class _VQ(torch.nn.Module):
         def __init__(self, *a, **k):
@@ -419,6 +421,107 @@ def test_plms_trajectory_parity(torch_ref):
                           x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(
         np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+
+def test_token_maps_and_distill_loss_parity(torch_ref):
+    """Our attention-map aggregation vs the reference's get_token_maps,
+    and the distillation KL vs the torch formula."""
+    torch = torch_ref
+    import numpy as np
+    import torch.nn.functional as F
+
+    import utils.attention_utils as au
+
+    from fgdm_tpu.utils.attention_maps import get_token_maps, kl_distill_loss
+
+    torch.manual_seed(0)
+    B = 2
+    sa_t = {"l1": torch.randn(B, 1024, 1024), "l2": torch.randn(B, 1024, 1024)}
+    ca_t = {"c1": torch.randn(B, 1024, 77), "c2": torch.randn(B, 256, 77)}
+    ref_s, ref_c = au.get_token_maps(sa_t, ca_t, 1, resn=32)
+
+    sa = {k: jnp.asarray(v.numpy()) for k, v in sa_t.items()}
+    ca = {k: jnp.asarray(v.numpy()) for k, v in ca_t.items()}
+    s_maps, c_maps = get_token_maps(sa, ca, resn=32)
+    np.testing.assert_allclose(np.asarray(s_maps), ref_s.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_maps), ref_c.numpy(), atol=1e-5)
+
+    # KL: reference compute_attn_distill_loss formula (ddpm.py:1785-1797)
+    t_self = torch.randn(B, 64, 64)
+    s_self = torch.randn(B, 64, 64)
+    t_cross = torch.randn(B, 8, 8, 77)
+    s_cross = torch.randn(B, 8, 8, 77)
+    eps = 1e-6
+
+    def ref_kl(t, s):
+        t = t.reshape(t.size(0), -1) + eps
+        s = s.reshape(s.size(0), -1) + eps
+        return F.kl_div(s.log_softmax(-1), t.softmax(-1),
+                        reduction="batchmean")
+
+    ref_loss = (ref_kl(t_self, s_self) + ref_kl(t_cross, s_cross)).item()
+    ours = float(kl_distill_loss(
+        jnp.asarray(t_self.numpy()), jnp.asarray(t_cross.numpy()),
+        jnp.asarray(s_self.numpy()), jnp.asarray(s_cross.numpy())))
+    np.testing.assert_allclose(ours, ref_loss, rtol=1e-4)
+
+
+def test_dpm_solver_parity(torch_ref):
+    """Our DPM-Solver++(2M) vs the reference's vendored solver in the exact
+    configuration the reference sampler uses."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.models.diffusion.dpm_solver.dpm_solver import (
+        DPM_Solver,
+        NoiseScheduleVP as TorchNS,
+        model_wrapper,
+    )
+    from ldm.modules.diffusionmodules.util import make_beta_schedule
+
+    from fgdm_tpu.core.schedules import DiffusionSchedule
+    from fgdm_tpu.sampling.dpm_solver import dpm_solver_sample
+
+    betas = make_beta_schedule("linear", 1000, linear_start=0.00085,
+                               linear_end=0.0120)
+    acp = np.cumprod(1.0 - betas)
+    ns = TorchNS("discrete", alphas_cumprod=torch.tensor(acp))
+
+    acp_j = jnp.asarray(acp.astype(np.float32))
+
+    def torch_model(x, t, c):
+        a = torch.tensor(
+            np.interp(np.asarray((t + 1) / 1000, np.float64),
+                      np.linspace(1 / 1000, 1.0, 1000), acp),
+            dtype=torch.float32).view(-1, 1, 1, 1)
+        return torch.sqrt(1 - a) * x
+
+    model_fn = model_wrapper(
+        lambda x, t, c=None: torch_model(x, t, c), ns, model_type="noise",
+        guidance_type="classifier-free", condition=None,
+        unconditional_condition=None, guidance_scale=1.0)
+    solver = DPM_Solver(model_fn, ns, predict_x0=True, thresholding=False)
+    rng = np.random.default_rng(3)
+    x_T = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = solver.sample(torch.from_numpy(x_T.copy()), steps=10,
+                            skip_type="time_uniform", method="multistep",
+                            order=2, lower_order_final=True)
+
+    def den(x, t, c):
+        tq = (t + 1.0) / 1000.0
+        a = jnp.interp(tq, jnp.linspace(1 / 1000, 1.0, 1000),
+                       acp_j).reshape(-1, 1, 1, 1)
+        return jnp.sqrt(1 - a) * x
+
+    ours = dpm_solver_sample(den, jax.random.PRNGKey(0), (1, 8, 8, 4),
+                             DiffusionSchedule.create(
+                                 1000, "linear", linear_start=0.00085,
+                                 linear_end=0.0120),
+                             None, cfg_scale=1.0, steps=10,
+                             x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=5e-4)
 
 
 def test_cross_attention_capture_parity(torch_ref):
