@@ -423,6 +423,63 @@ def test_plms_trajectory_parity(torch_ref):
         np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1), atol=1e-4)
 
 
+def test_adapter_module_parity(torch_ref):
+    """Reference Adapter (shipped config) vs ours: all 4 pyramid features
+    equal after weight ingest."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.modules.encoders.adapter import Adapter as TorchAdapter
+
+    from fgdm_tpu.checkpoint.torch_ingest import ingest_unet
+    from fgdm_tpu.models.adapter import Adapter
+
+    torch.manual_seed(0)
+    tad = TorchAdapter(channels=[32, 64, 128, 128], nums_rb=2, cin=4,
+                       ksize=1, sk=True, use_conv=False).eval()
+    sd = {f"model.diffusion_model.adapter.{k}": v.detach().numpy()
+          for k, v in tad.state_dict().items()}
+
+    ours = Adapter(channels=(32, 64, 128, 128), nums_rb=2, cin=4, ksize=1,
+                   sk=True, use_conv=False, dtype=jnp.float32)
+    expect = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4))))
+    # reuse the UNet mapper: adapter keys live under adapter.* there
+    wrapped_expect = {"params": {"adapter": expect["params"]}}
+    tree, missing, _ = ingest_unet(sd, expect=wrapped_expect)
+    assert not missing
+    params = {"params": tree["params"]["adapter"]}
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = tad(torch.from_numpy(x))
+    feats = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(feats) == len(ref_feats) == 4
+    for f, r in zip(feats, ref_feats):
+        np.testing.assert_allclose(
+            np.asarray(f), r.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_lr_scheduler_parity(torch_ref):
+    """LambdaLinear multiplier vs the reference scheduler (shipped 10k
+    warmup config)."""
+    import numpy as np
+
+    from ldm.lr_scheduler import LambdaLinearScheduler
+
+    from fgdm_tpu.train.lr_schedules import lambda_linear
+
+    ref = LambdaLinearScheduler(warm_up_steps=[10000],
+                                cycle_lengths=[10_000_000_000_000],
+                                f_start=[1e-5], f_max=[1.0], f_min=[1.0])
+    ours = lambda_linear(warm_up_steps=10000, f_start=1e-5, f_max=1.0,
+                         f_min=1.0, cycle_length=1e13)
+    for n in [0, 1, 100, 9999, 10000, 50000, 1_000_000]:
+        np.testing.assert_allclose(float(ours(n)), ref.schedule(n),
+                                   rtol=1e-6, err_msg=f"step {n}")
+
+
 def test_token_maps_and_distill_loss_parity(torch_ref):
     """Our attention-map aggregation vs the reference's get_token_maps,
     and the distillation KL vs the torch formula."""
