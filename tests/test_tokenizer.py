@@ -1,0 +1,77 @@
+"""CLIP BPE tokenizer tests — real-vocab path via a toy vocab fixture."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fgdm_tpu.models.clip import CLIPTokenizer
+
+
+@pytest.fixture
+def vocab_dir(tmp_path):
+    # toy byte-level BPE: characters + a few merges building "cat</w>"
+    tokens = {}
+    idx = 0
+    for ch in "abcdefghijklmnopqrstuvwxyz ":
+        tokens[ch] = idx
+        idx += 1
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        tokens[ch + "</w>"] = idx
+        idx += 1
+    merges = ["c a", "ca t</w>", "d o", "do g</w>"]
+    for m in merges:
+        merged = m.replace(" ", "")
+        if merged not in tokens:
+            tokens[merged] = idx
+            idx += 1
+    with open(tmp_path / "vocab.json", "w") as f:
+        json.dump(tokens, f)
+    with open(tmp_path / "merges.txt", "w") as f:
+        f.write("#version\n" + "\n".join(merges) + "\n")
+    return str(tmp_path), tokens
+
+
+def test_bpe_merges_apply(vocab_dir):
+    path, tokens = vocab_dir
+    tok = CLIPTokenizer(vocab_dir=path)
+    assert tok.has_real_vocab
+    ids = tok.encode_text("cat")
+    assert ids == [tokens["cat</w>"]]  # both merges applied
+    ids = tok.encode_text("dog")
+    assert ids == [tokens["dog</w>"]]
+    # word without merges falls back to char pieces
+    ids = tok.encode_text("ba")
+    assert ids == [tokens["b"], tokens["a</w>"]]
+
+
+def test_padded_batch_layout(vocab_dir):
+    path, tokens = vocab_dir
+    tok = CLIPTokenizer(vocab_dir=path)
+    out = tok(["cat dog", ""])
+    assert out.shape == (2, 77)
+    assert out[0, 0] == tok.BOT
+    assert out[0, 1] == tokens["cat</w>"]
+    assert out[0, 2] == tokens["dog</w>"]
+    assert out[0, 3] == tok.EOT
+    assert (out[0, 4:] == tok.EOT).all()  # EOT padding
+    assert out[1, 0] == tok.BOT and out[1, 1] == tok.EOT
+
+
+def test_truncation(vocab_dir):
+    path, _ = vocab_dir
+    tok = CLIPTokenizer(vocab_dir=path)
+    long = " ".join(["cat"] * 200)
+    out = tok([long])
+    assert out.shape == (1, 77)
+    assert out[0, -1] == tok.EOT  # truncated to max length with final EOT
+
+
+def test_fallback_without_vocab():
+    tok = CLIPTokenizer()
+    assert not tok.has_real_vocab
+    a = tok(["hello world"])
+    b = tok(["hello world"])
+    np.testing.assert_array_equal(a, b)  # deterministic
+    c = tok(["different prompt"])
+    assert not np.array_equal(a, c)
