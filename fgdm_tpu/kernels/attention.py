@@ -158,6 +158,30 @@ def _on_tpu() -> bool:
         return False
 
 
+# Differentiable wrapper: flash forward, XLA-derived backward (the Pallas
+# kernel defines no transpose; the backward re-materializes scores — a
+# dedicated flash backward kernel is future work).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_op(q, k, v, scale):
+    return _flash_attention(q, k, v, scale)
+
+
+def _flash_op_fwd(q, k, v, scale):
+    return _flash_attention(q, k, v, scale), (q, k, v)
+
+
+def _flash_op_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: _xla_attention(qq, kk, vv, scale).astype(qq.dtype),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_flash_op.defvjp(_flash_op_fwd, _flash_op_bwd)
+
+
 def multihead_attention(q, k, v, scale=None, use_flash=None):
     """Fused scaled-dot-product attention. q/k/v: [B, H, N, D]."""
     if scale is None:
@@ -173,5 +197,5 @@ def multihead_attention(q, k, v, scale=None, use_flash=None):
             and nk % 512 == 0
         )
     if use_flash:
-        return _flash_attention(q, k, v, float(scale))
+        return _flash_op(q, k, v, float(scale))
     return _xla_attention(q, k, v, float(scale)).astype(q.dtype)

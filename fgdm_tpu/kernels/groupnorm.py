@@ -151,6 +151,32 @@ def _on_tpu() -> bool:
         return False
 
 
+# Differentiable wrapper: the Pallas kernel has no automatic transpose, so
+# training routes the backward through jax.vjp of the XLA reference math
+# (numerically the same function; the fused kernel only accelerates fwd).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_op(x, scale, bias, num_groups, eps, apply_silu):
+    return _fused(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _fused_op_fwd(x, scale, bias, num_groups, eps, apply_silu):
+    return _fused(x, scale, bias, num_groups, eps, apply_silu), (
+        x, scale, bias)
+
+
+def _fused_op_bwd(num_groups, eps, apply_silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _xla_group_norm(xx, ss, bb, num_groups, eps,
+                                           apply_silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
 def group_norm_silu(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -162,7 +188,6 @@ def group_norm_silu(
 ) -> jnp.ndarray:
     """GroupNorm → affine → (SiLU), fused on TPU when it fits VMEM."""
     c = x.shape[-1]
-    elems = int(np.prod(x.shape[1:]))
     if use_fused is None:
         use_fused = (
             _HAS_PLTPU and (_on_tpu() or _INTERPRET)
@@ -171,7 +196,7 @@ def group_norm_silu(
                  or int(np.prod(x.shape[1:-1])) <= _ROW_CHUNK)
         )
     if use_fused:
-        return _fused(x, scale.astype(jnp.float32),
-                      bias.astype(jnp.float32), num_groups, float(eps),
-                      apply_silu)
+        return _fused_op(x, scale.astype(jnp.float32),
+                         bias.astype(jnp.float32), num_groups, float(eps),
+                         apply_silu)
     return _xla_group_norm(x, scale, bias, num_groups, eps, apply_silu)
