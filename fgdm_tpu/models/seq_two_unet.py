@@ -44,6 +44,12 @@ class SeqTwoUNet(nn.Module):
     context_dim: Optional[int] = 768
     use_map_channel_mapper: bool = True
     use_control: bool = False       # unet2 consumes ControlNet residuals
+    # AdaptDiffusion mode (`ldm/models/diffusion/ddpm.py:1851-1927`): the
+    # image factor conditions on the denoised condition factor through an
+    # FG-DM *adapter* on unet1 (the reference optimizes only params named
+    # 'joint_image_adapter' — a module absent from the shipped repo; this is
+    # its concrete realization) instead of channel concatenation.
+    image_adapter: bool = False
     dtype: Dtype = jnp.bfloat16
     # schedule for in-forward x0 prediction (matches the diffusion process)
     linear_start: float = 0.00085
@@ -66,10 +72,19 @@ class SeqTwoUNet(nn.Module):
             in_channels=self.factor_channels,
             out_channels=self.factor_channels, **common, name="unet2",
         )
-        self.unet1 = UNetModel(
-            in_channels=self.factor_channels + self.mapped_channels,
-            out_channels=self.factor_channels, **common, name="unet1",
-        )
+        if self.image_adapter:
+            u1 = dict(common, use_adapter=True)
+            self.unet1 = UNetModel(
+                in_channels=self.factor_channels,
+                out_channels=self.factor_channels,
+                adapter_channels=self.mapped_channels,
+                **u1, name="unet1",
+            )
+        else:
+            self.unet1 = UNetModel(
+                in_channels=self.factor_channels + self.mapped_channels,
+                out_channels=self.factor_channels, **common, name="unet1",
+            )
         if self.use_map_channel_mapper:
             self.channel_mapper = Conv2d(
                 self.mapped_channels, kernel_size=1, padding=0,
@@ -107,10 +122,16 @@ class SeqTwoUNet(nn.Module):
         if self.use_map_channel_mapper:
             h2_recon = self.channel_mapper(h2_recon.astype(self.dtype))
 
-        eps1 = self.unet1(
-            jnp.concatenate([h1, h2_recon.astype(h1.dtype)], axis=-1),
-            timesteps, context=context,
-        )
+        if self.image_adapter:
+            eps1 = self.unet1(
+                h1, timesteps, context=context,
+                pcond=h2_recon.astype(h1.dtype),
+            )
+        else:
+            eps1 = self.unet1(
+                jnp.concatenate([h1, h2_recon.astype(h1.dtype)], axis=-1),
+                timesteps, context=context,
+            )
         return jnp.concatenate([eps1, eps2], axis=-1)
 
 

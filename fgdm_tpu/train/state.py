@@ -49,6 +49,17 @@ def adapter_filter(optim_key: str = "adapter") -> Callable[[str], bool]:
     return f
 
 
+def joint_image_adapter_filter() -> Callable[[str], bool]:
+    """AdaptDiffusion freeze rule (`ddpm.py:1866-1870`): joint training
+    optimizes only the image factor's adapter (+ the condition→adapter
+    channel mapper); both UNet backbones stay frozen."""
+
+    def f(path: str) -> bool:
+        return ("unet1/adapter" in path) or ("channel_mapper" in path)
+
+    return f
+
+
 @struct.dataclass
 class EmaState:
     decay: float = struct.field(pytree_node=False)
