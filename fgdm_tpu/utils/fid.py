@@ -3,9 +3,10 @@
 The reference evaluates with clean-fid + CLIP score offline (SURVEY §4,
 `utils/clip_utils.py`).  This module provides the in-repo equivalent:
 feature-statistic accumulation over batches, the Fréchet distance
-``‖μ₁−μ₂‖² + Tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2})``, and a CLIP-feature extractor
-backend (CLIP-FID — standard practice when InceptionV3 weights are
-unavailable; any [B,H,W,3]→[B,D] extractor plugs in).
+``‖μ₁−μ₂‖² + Tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2})``, and two feature backends: a
+CLIP extractor (CLIP-FID) here, and the standard InceptionV3 pool3
+backend in :mod:`fgdm_tpu.utils.inception` (FID-variant architecture +
+torch-checkpoint ingest; any [B,H,W,3]→[B,D] extractor plugs in).
 """
 
 from __future__ import annotations
