@@ -50,9 +50,11 @@ __all__ = ["multihead_attention", "attention_with_scores"]
 
 
 def _xla_attention(q, k, v, scale):
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    sim = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale
+    # bf16 operands feed the MXU directly with f32 accumulation — no f32
+    # copies of q/k materialize (this path serves every cross-attention:
+    # nk=77 < flash threshold).  Softmax stays f32.
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(sim, axis=-1)
     out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
     return out
