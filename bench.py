@@ -35,8 +35,9 @@ except Exception:
     pass
 
 A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
-# batch 4 is the measured throughput sweet spot on v5e (1.27 img/s vs 0.94
-# at batch 1 and 1.25 at batch 8); flash attention contributes +33%.
+# batch 4 is the measured throughput sweet spot on v5e (0.94 at batch 1,
+# flat at batch 8); current chain throughput 1.48 img/s/chip — flash
+# attention +33%, fused GroupNorm+SiLU +10%, flash block tuning +5%.
 BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "4"))
 # "bf16" stores parameters in bfloat16 (halves weight HBM traffic for
 # inference); default f32 matches training-grade numerics.
