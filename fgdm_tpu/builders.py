@@ -98,10 +98,27 @@ class ModelSpec:
     ckpt_path: Optional[str] = None
     scheduler_config: Optional[Dict[str, Any]] = None
     parameterization: str = "eps"
+    # on-the-fly condition-synthesis flags (reference ddpm.py:137-150)
+    use_depth: bool = False
+    use_normal: bool = False
+    use_sketch: bool = False
+    use_hed: bool = False
+    sketch_to_normal: bool = False
+    img_factor_train: bool = False
+    scale_by_std: bool = False
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def schedule(self) -> DiffusionSchedule:
         return DiffusionSchedule.create(**self.schedule_args)
+
+    def condition_kind(self) -> Optional[str]:
+        from fgdm_tpu.train.condition import condition_kind
+
+        return condition_kind(
+            use_depth=self.use_depth, use_normal=self.use_normal,
+            use_sketch=self.use_sketch, use_hed=self.use_hed,
+            sketch_to_normal=self.sketch_to_normal,
+        )
 
     def create(self, rng: jax.Array,
                init_first_stage: bool = True) -> LatentDiffusion:
@@ -118,11 +135,17 @@ class ModelSpec:
              ) -> LatentDiffusion:
         from fgdm_tpu.checkpoint.loader import load_fgdm
 
+        # thread the parsed config's module defs, schedule, scale_factor and
+        # conditioning_key through — a config differing from SD-1.x defaults
+        # must not silently fall back to them
         return load_fgdm(
             ckpt_path or self.ckpt_path,
             dtype=dtype or self.unet_def.dtype,
             latent_size=self.image_size,
-            use_time_adapter=self.unet_def.use_time_adapter,
+            unet=self.unet_def, vae=self.vae_def, clip=self.clip_def,
+            schedule=self.schedule(),
+            scale_factor=self.scale_factor,
+            conditioning_key=self.conditioning_key,
         )
 
 
@@ -166,5 +189,12 @@ def build_latent_diffusion(dtype=jnp.bfloat16, **p) -> ModelSpec:
         ckpt_path=p.get("ckpt_path"),
         scheduler_config=p.get("scheduler_config"),
         parameterization=p.get("parameterization", "eps"),
+        use_depth=p.get("use_depth", False),
+        use_normal=p.get("use_normal", False),
+        use_sketch=p.get("use_sketch", False),
+        use_hed=p.get("use_hed", False),
+        sketch_to_normal=p.get("sketch_to_normal", False),
+        img_factor_train=p.get("img_factor_train", False),
+        scale_by_std=p.get("scale_by_std", False),
         raw=p,
     )

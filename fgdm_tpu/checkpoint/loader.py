@@ -64,6 +64,28 @@ def _abstract_init(module, *args, **kwargs):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
+def _fill_missing_from_init(params, missing, module, init_args,
+                            init_kwargs=None, label="", verbose=True):
+    """strict=False parity: keys absent from the checkpoint keep the
+    module's *real* init (the reference keeps torch's random init,
+    ddpm.py:244-270), not the zeros of the abstract expect tree."""
+    if not missing:
+        return params
+    from flax import traverse_util
+
+    real = module.init(jax.random.PRNGKey(0), *init_args,
+                       **(init_kwargs or {}))
+    flat = traverse_util.flatten_dict(params, sep="/")
+    rflat = traverse_util.flatten_dict(real, sep="/")
+    for k in missing:
+        flat[k] = rflat[k]
+    if verbose:
+        heads = sorted({"/".join(k.split("/")[:3]) for k in missing})
+        print(f"[load] {label}: {len(missing)} params kept at module init "
+              f"(subtrees: {heads[:6]}{'…' if len(heads) > 6 else ''})")
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
 def load_fgdm(
     ckpt_path: Optional[str] = None,
     dtype=jnp.bfloat16,
@@ -71,20 +93,30 @@ def load_fgdm(
     use_time_adapter: bool = False,
     ignore_keys: Sequence[str] = ("model_ema.",),
     verbose: bool = True,
+    unet: Optional[UNetModel] = None,
+    vae: Optional[AutoencoderKL] = None,
+    clip: Optional[CLIPTextEncoder] = None,
+    schedule: Optional[DiffusionSchedule] = None,
+    scale_factor: float = 0.18215,
+    conditioning_key: str = "crossattn",
 ) -> LatentDiffusion:
     """Assemble the FG-DM condition-factor model (UNet+adapter, VAE, CLIP)
-    and optionally populate from a torch checkpoint."""
-    unet = sd_unet(dtype=dtype, use_time_adapter=use_time_adapter)
-    vae = sd_vae(dtype=dtype)
-    clip = sd_clip(dtype=dtype)
+    and optionally populate from a torch checkpoint.  Module defs, schedule,
+    scale_factor and conditioning_key default to SD-1.x but honor whatever a
+    parsed config passes in (builders.ModelSpec.load)."""
+    unet = unet or sd_unet(dtype=dtype, use_time_adapter=use_time_adapter)
+    vae = vae or sd_vae(dtype=dtype)
+    clip = clip or sd_clip(dtype=dtype)
 
-    x = jnp.zeros((1, latent_size, latent_size, 4))
+    x = jnp.zeros((1, latent_size, latent_size, unet.in_channels))
     t = jnp.zeros((1,), jnp.int32)
-    ctx = jnp.zeros((1, 77, 768))
+    ctx = (jnp.zeros((1, clip.max_length, clip.embed_dim))
+           if unet.context_dim else None)
+    img = jnp.zeros((1, latent_size * 8, latent_size * 8, vae.in_channels))
+    ids = jnp.zeros((1, clip.max_length), jnp.int32)
     unet_params = _abstract_init(unet, x, t, ctx)
-    vae_params = _abstract_init(vae, jnp.zeros((1, 256, 256, 3)),
-                                sample_posterior=False)
-    clip_params = _abstract_init(clip, jnp.zeros((1, 77), jnp.int32))
+    vae_params = _abstract_init(vae, img, sample_posterior=False)
+    clip_params = _abstract_init(clip, ids)
 
     if ckpt_path:
         sd = ti.load_torch_state_dict(ckpt_path)
@@ -95,13 +127,23 @@ def load_fgdm(
         if verbose:
             print(f"[load_fgdm] {ckpt_path}: missing unet={len(m1)} "
                   f"vae={len(m2)} clip={len(m3)} unexpected={len(u1)}")
+        unet_params = _fill_missing_from_init(
+            unet_params, m1, unet, (x, t, ctx), label="unet",
+            verbose=verbose)
+        vae_params = _fill_missing_from_init(
+            vae_params, m2, vae, (img,), {"sample_posterior": False},
+            label="vae", verbose=verbose)
+        clip_params = _fill_missing_from_init(
+            clip_params, m3, clip, (ids,), label="clip", verbose=verbose)
 
     return LatentDiffusion(
         unet_def=unet, vae_def=vae, clip_def=clip,
+        conditioning_key=conditioning_key,
+        scale_factor=scale_factor,
         unet_params=jax.tree.map(jnp.asarray, unet_params),
         vae_params=jax.tree.map(jnp.asarray, vae_params),
         clip_params=jax.tree.map(jnp.asarray, clip_params),
-        schedule=DiffusionSchedule.create(**SD_SCHEDULE),
+        schedule=schedule or DiffusionSchedule.create(**SD_SCHEDULE),
     )
 
 
@@ -137,11 +179,23 @@ def load_controlnet(
         unet_params, m1, _ = ti.ingest_unet(sd, expect=unet_params)
         cn_params, m2, _ = ti.ingest_controlnet(sd, expect=cn_params)
         if share_first_stage is None:
-            vae_params, _, _ = ti.ingest_vae(sd, expect=vae_params)
-            clip_params, _, _ = ti.ingest_clip(sd, expect=clip_params)
+            vae_params, mv, _ = ti.ingest_vae(sd, expect=vae_params)
+            clip_params, mc, _ = ti.ingest_clip(sd, expect=clip_params)
+            vae_params = _fill_missing_from_init(
+                vae_params, mv, vae, (jnp.zeros((1, 256, 256, 3)),),
+                {"sample_posterior": False}, label="cn-vae", verbose=verbose)
+            clip_params = _fill_missing_from_init(
+                clip_params, mc, clip, (jnp.zeros((1, 77), jnp.int32),),
+                label="cn-clip", verbose=verbose)
         if verbose:
             print(f"[load_controlnet] {ckpt_path}: missing unet={len(m1)} "
                   f"control={len(m2)}")
+        unet_params = _fill_missing_from_init(
+            unet_params, m1, unet, (x, t, ctx), label="cn-unet",
+            verbose=verbose)
+        cn_params = _fill_missing_from_init(
+            cn_params, m2, cn, (x, hint, t, ctx), label="controlnet",
+            verbose=verbose)
 
     return ControlLDM(
         unet_def=unet, vae_def=vae, clip_def=clip,

@@ -29,10 +29,15 @@ class CheckpointManager:
 
     def save(self, step: int, tree: Any, metrics: Optional[dict] = None,
              force: bool = False) -> bool:
-        saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(tree),
-            metrics=metrics, force=force,
-        )
+        try:
+            saved = self._mgr.save(
+                step, args=ocp.args.StandardSave(tree),
+                metrics=metrics, force=force,
+            )
+        except ocp.checkpoint_manager.StepAlreadyExistsError:
+            # idempotent per step: melk/force saves may race the loop's own
+            # interval save of the same step
+            return False
         return bool(saved)
 
     def restore(self, step: Optional[int] = None, target: Any = None) -> Any:

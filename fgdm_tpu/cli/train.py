@@ -50,6 +50,41 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_annotator_params(kind: str, ann_dir: str):
+    """Find + ingest the frozen annotator checkpoint for a condition kind.
+
+    File names follow the reference's conventions
+    (`ldm/models/diffusion/ddpm.py:146-150`: models/table5_pidinet.pth;
+    `controlnet/annotator/`: ControlNetHED.pth, dpt_hybrid-midas-501f0c75.pt).
+    Returns None when no checkpoint is present (zero-egress hosts)."""
+    from fgdm_tpu.checkpoint import annotator_ingest as ai
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    table = {
+        "depth": (("dpt_hybrid-midas-501f0c75.pt", "dpt_hybrid.pt"),
+                  "ingest_midas"),
+        "normal": (("dpt_hybrid-midas-501f0c75.pt", "dpt_hybrid.pt"),
+                   "ingest_midas"),
+        "sketch": (("table5_pidinet.pth", "pidinet.pth"), "ingest_pidinet"),
+        "sketch_hed": (("ControlNetHED.pth", "hed.pth"), "ingest_hed"),
+        "sketch_to_normal": (("dpt_hybrid-midas-501f0c75.pt",),
+                             "ingest_midas"),
+    }
+    names, fn_name = table[kind]
+    ingest = getattr(ai, fn_name, None)
+    if ingest is None:
+        return None
+    for name in names:
+        path = os.path.join(ann_dir, name)
+        if os.path.exists(path):
+            sd = load_torch_state_dict(path)
+            params, missing, unexpected = ingest(sd)
+            print(f"[train] annotator {path}: missing={len(missing)} "
+                  f"unexpected={len(unexpected)}")
+            return params
+    return None
+
+
 def main(argv=None):
     parser = get_parser()
     opt, unknown = parser.parse_known_args(argv)
@@ -65,8 +100,10 @@ def main(argv=None):
     from fgdm_tpu.data.dataset import batch_iterator
     from fgdm_tpu.models.clip import CLIPTokenizer
     from fgdm_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from fgdm_tpu.train.condition import build_condition_synth
     from fgdm_tpu.train.lr_schedules import scaled_lr
-    from fgdm_tpu.train.state import TrainState, adapter_filter, make_adamw
+    from fgdm_tpu.train.state import (TrainState, adapter_filter, make_adamw,
+                                      state_from_pytree, state_to_pytree)
     from fgdm_tpu.train.train_step import make_eval_step, make_train_step
 
     # -- config assembly (main.py:492-557) ---------------------------------
@@ -110,6 +147,26 @@ def main(argv=None):
             print(f"[train] ckpt {spec.ckpt_path} missing — random init")
         ld = spec.create(rng)
 
+    # -- on-the-fly condition synthesis (ddpm.py:137-150) -------------------
+    cond_kind = spec.condition_kind()
+    condition = None
+    if cond_kind is not None:
+        ann_dir = os.environ.get("FGDM_ANNOTATOR_DIR", "models")
+        ann_params = _load_annotator_params(cond_kind, ann_dir)
+        if ann_params is None:
+            if os.environ.get("FGDM_ALLOW_RANDOM_ANNOTATORS") != "1":
+                raise SystemExit(
+                    f"[train] config needs the frozen {cond_kind!r} annotator "
+                    f"but no checkpoint was found under {ann_dir!r}. Set "
+                    "FGDM_ANNOTATOR_DIR to the checkpoint directory, or "
+                    "FGDM_ALLOW_RANDOM_ANNOTATORS=1 for a smoke run.")
+            print(f"[train] WARNING: {cond_kind} annotator random-init "
+                  "(smoke mode — targets are meaningless)")
+        condition = build_condition_synth(
+            cond_kind, rng=jax.random.PRNGKey(0), params=ann_params,
+            image_size=spec.image_size * 8)
+        print(f"[train] condition synthesis: {cond_kind} (in-graph)")
+
     # -- data --------------------------------------------------------------
     data_cfg = config["data"]["params"]
     batch_size = data_cfg.get("batch_size", 8)
@@ -134,24 +191,51 @@ def main(argv=None):
     trainable = adapter_filter() if spec.freeze_backbone else None
     state = TrainState.create(ld.unet_params, tx, trainable_filter=trainable,
                               use_ema=spec.use_ema)
-    state = replicate(mesh, state)
-
-    step_fn = make_train_step(ld, mesh=mesh,
-                              parameterization=spec.parameterization)
-    distill_fn = (make_train_step(ld, mesh=mesh, distill=True,
-                                  parameterization=spec.parameterization)
-                  if spec.apply_distill_loss else None)
-    eval_fn = make_eval_step(ld, mesh=mesh) if val_ds is not None else None
 
     mgr = CheckpointManager(ckptdir, keep=3,
                             save_interval_steps=opt.ckpt_every)
 
+    # -- resume: restore the FULL train state (params+opt+EMA+step) --------
+    start_step = 0
+    if opt.resume and mgr.latest_step() is not None:
+        target = state_to_pytree(state)
+        restored = mgr.restore(target=target)
+        state = state_from_pytree(state, restored)
+        start_step = int(state.step)
+        print(f"[train] resumed from {ckptdir} at step {start_step}")
+    elif opt.resume:
+        print(f"[train] -r given but no checkpoints in {ckptdir} — "
+              "starting fresh")
+    state = replicate(mesh, state)
+
+    # -- scale_by_std auto-calibration on the first batch (ddpm.py:580-597)
+    if spec.scale_by_std and start_step == 0:
+        probe = next(batch_iterator(train_ds, batch_size,
+                                    tokenizer=tokenizer, seed=opt.seed))
+        img = jnp.asarray(probe["image"])
+        if condition is not None:
+            img = condition.target(img)
+            if condition.kind == "sketch_to_normal":
+                img = img[..., :3]
+        ld = ld.calibrate_scale_by_std(img, jax.random.PRNGKey(0))
+        print(f"[train] scale_by_std: scale_factor={ld.scale_factor:.5f}")
+
+    step_fn = make_train_step(ld, mesh=mesh,
+                              parameterization=spec.parameterization,
+                              condition=condition)
+    distill_fn = (make_train_step(ld, mesh=mesh, distill=True,
+                                  parameterization=spec.parameterization,
+                                  condition=condition)
+                  if spec.apply_distill_loss else None)
+    eval_fn = (make_eval_step(ld, mesh=mesh, condition=condition)
+               if val_ds is not None else None)
+
     # -- melk: save on SIGUSR1 / exception (main.py:736-761) ---------------
-    state_ref = {"state": state, "step": 0}
+    state_ref = {"state": state, "step": start_step}
 
     def melk(*args):
         print("[train] melk: saving checkpoint")
-        mgr.save(state_ref["step"], {"params": state_ref["state"].params},
+        mgr.save(state_ref["step"], state_to_pytree(state_ref["state"]),
                  force=True)
         mgr.wait()
 
@@ -165,7 +249,7 @@ def main(argv=None):
 
     it = batch_iterator(train_ds, batch_size, tokenizer=tokenizer,
                         seed=opt.seed)
-    step = 0
+    step = start_step
     t0 = time.time()
     try:
         for batch in it:
@@ -183,9 +267,10 @@ def main(argv=None):
             if step % 50 == 0:
                 dt = time.time() - t0
                 m = {k: float(v) for k, v in metrics.items()}
+                done = step - start_step + 1
                 print(f"step {step} loss {m['loss']:.4f} "
                       f"simple {m['loss_simple']:.4f} "
-                      f"({(step + 1) * batch_size / max(dt, 1e-9):.1f} img/s)",
+                      f"({done * batch_size / max(dt, 1e-9):.1f} img/s)",
                       flush=True)
             if eval_fn is not None and opt.val_every and \
                     step and step % opt.val_every == 0:
@@ -195,7 +280,7 @@ def main(argv=None):
                     "image": vb["image"], "input_ids": vb["input_ids"]}),
                     jax.random.PRNGKey(0))
                 print("  val:", {k: round(float(v), 4) for k, v in vm.items()})
-            mgr.save(step, {"params": state.params})
+            mgr.save(step, state_to_pytree(state))
             step += 1
     except KeyboardInterrupt:
         melk()

@@ -142,6 +142,39 @@ class TrainState:
         )
 
 
+def state_to_pytree(state: TrainState, include_frozen: bool = True) -> Dict:
+    """Serializable view of the full train state (params + opt state + EMA +
+    step), the faithful-resume contract (reference Lightning ckpts carry the
+    optimizer + EMA too, main.py:594-676)."""
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    if include_frozen:
+        tree["frozen"] = state.frozen
+    if state.ema is not None:
+        tree["ema"] = {"shadow": state.ema.shadow,
+                       "num_updates": state.ema.num_updates}
+    return tree
+
+
+def state_from_pytree(state: TrainState, tree: Dict) -> TrainState:
+    """Rebuild a TrainState from ``state_to_pytree`` output, using ``state``
+    (a freshly created one) for structure and anything not saved."""
+    ema = state.ema
+    if ema is not None and "ema" in tree:
+        ema = ema.replace(shadow=tree["ema"]["shadow"],
+                          num_updates=tree["ema"]["num_updates"])
+    return state.replace(
+        step=tree["step"],
+        params=tree["params"],
+        frozen=tree.get("frozen", state.frozen),
+        opt_state=tree["opt_state"],
+        ema=ema,
+    )
+
+
 def make_adamw(
     lr: float,
     schedule_fn: Optional[Callable] = None,

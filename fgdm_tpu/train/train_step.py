@@ -21,7 +21,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
 from fgdm_tpu.diffusion.losses import diffusion_loss
+from fgdm_tpu.train.condition import ConditionSynth
 from fgdm_tpu.train.state import TrainState, merge_params
+
+
+def _encode_target(ld_t, batch, condition, rng_enc):
+    """Batch image → x_start latent, synthesizing the condition target
+    in-graph when configured (reference get_input, ddpm.py:397-419)."""
+    if "latent" in batch:
+        return batch["latent"]
+    img = batch["image"]
+    if condition is None:
+        return ld_t.encode_first_stage(img, rng_enc)
+    tgt = condition.target(img)
+    if condition.kind == "sketch_to_normal":
+        # chunk (normal, sketch), encode each, concat latents — mirrors the
+        # reference's 2-group split in LatentDiffusion.get_input
+        # (ddpm.py:765-782).
+        y, x = tgt[..., :3], tgt[..., 3:]
+        r1, r2 = jax.random.split(rng_enc)
+        zy = ld_t.encode_first_stage(y, r1)
+        zx = ld_t.encode_first_stage(x, r2)
+        return jnp.concatenate([zy, zx], axis=-1)
+    return ld_t.encode_first_stage(tgt, rng_enc)
 
 
 def make_train_step(
@@ -34,12 +56,16 @@ def make_train_step(
     encode_first_stage: bool = True,
     mesh: Optional[Mesh] = None,
     infer_state_sharding: bool = False,
+    condition: Optional[ConditionSynth] = None,
 ):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: {'image': [B,H,W,3] in [-1,1] (or 'latent'), 'input_ids':
     [B,77] int32}.  When ``mesh`` is given, the returned function is jitted
-    with batch sharded over 'data' and state replicated.
+    with batch sharded over 'data' and state replicated.  ``condition``
+    runs a frozen annotator on ``batch['image']`` inside the compiled step
+    to synthesize the factor's training target (depth/normal/sketch configs;
+    reference ddpm.py:137-150,397-419).
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -47,7 +73,7 @@ def make_train_step(
         ld_t = ld.replace(unet_params=unet_params)
         rng_enc, rng_loss = jax.random.split(rng)
         if encode_first_stage and "latent" not in batch:
-            x_start = ld_t.encode_first_stage(batch["image"], rng_enc)
+            x_start = _encode_target(ld_t, batch, condition, rng_enc)
         else:
             x_start = batch["latent"]
         ctx = ld_t.get_learned_conditioning(batch["input_ids"])
@@ -97,6 +123,7 @@ def make_eval_step(
     ld: LatentDiffusion,
     parameterization: str = "eps",
     mesh: Optional[Mesh] = None,
+    condition: Optional[ConditionSynth] = None,
 ):
     """Validation loss (plain + EMA weights), reference validation_step
     (ddpm.py:442-450)."""
@@ -112,7 +139,7 @@ def make_eval_step(
             ld_t = ld.replace(unet_params=unet_params)
             rng_enc, rng_loss = jax.random.split(rng)
             if "latent" not in batch:
-                x_start = ld_t.encode_first_stage(batch["image"], rng_enc)
+                x_start = _encode_target(ld_t, batch, condition, rng_enc)
             else:
                 x_start = batch["latent"]
             ctx = ld_t.get_learned_conditioning(batch["input_ids"])

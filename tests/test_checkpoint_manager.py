@@ -44,6 +44,44 @@ def test_standalone_pytree_io(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["a"]), np.ones((4, 4)))
 
 
+def test_full_train_state_roundtrip(tmp_path):
+    """Faithful resume: params + opt_state + EMA + step all survive the
+    save/restore cycle (ADVICE r1: previously only params were saved)."""
+    from fgdm_tpu.train.state import (TrainState, adapter_filter, make_adamw,
+                                      state_from_pytree, state_to_pytree)
+
+    params = {"params": {
+        "adapter": {"w": jnp.ones((4, 4))},
+        "backbone": {"w": jnp.full((4,), 2.0)},
+    }}
+    tx = make_adamw(1e-2)
+    state = TrainState.create(params, tx, trainable_filter=adapter_filter(),
+                              use_ema=True)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+    state = state.apply_gradients(grads)
+
+    mgr = CheckpointManager(str(tmp_path / "full"), keep=1)
+    assert mgr.save(int(state.step), state_to_pytree(state), force=True)
+    mgr.wait()
+
+    fresh = TrainState.create(params, tx, trainable_filter=adapter_filter(),
+                              use_ema=True)
+    restored = mgr.restore(target=state_to_pytree(fresh))
+    resumed = state_from_pytree(fresh, restored)
+    assert int(resumed.step) == 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (resumed.params, resumed.opt_state, resumed.ema.shadow,
+         resumed.ema.num_updates),
+        (state.params, state.opt_state, state.ema.shadow,
+         state.ema.num_updates))
+    # another step after resume works (optimizer state intact)
+    resumed.apply_gradients(grads)
+    mgr.close()
+
+
 def test_v_param_loss():
     from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
     from fgdm_tpu.diffusion.losses import diffusion_loss

@@ -117,6 +117,48 @@ def test_train_cli_two_steps(workspace, monkeypatch):
     assert ckpts, "no checkpoint saved"
 
 
+def test_train_cli_resume_restores_full_state(workspace, monkeypatch, capsys):
+    """-r restores params+opt+EMA+step from the latest checkpoint and
+    continues counting from there (reference main.py:502-520 semantics)."""
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    from fgdm_tpu.cli import train as train_cli
+
+    logdir = root / "logs_resume"
+    train_cli.main([
+        "-b", str(cfg_path), "-t", "--max_steps", "2",
+        "-l", str(logdir), "-n", "resumable", "--seed", "7",
+        "--ckpt_every", "1",
+    ])
+    run = next(logdir.iterdir())
+    capsys.readouterr()
+    train_cli.main([
+        "-r", str(run), "-t", "--max_steps", "4", "--seed", "7",
+        "--ckpt_every", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 2" in out
+    assert "done at step 4" in out
+
+
+def test_train_cli_sketch_condition(workspace, monkeypatch):
+    """use_sketch config: the PiDiNet target synthesis runs inside the
+    compiled step (random-init smoke mode)."""
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    monkeypatch.setenv("FGDM_ALLOW_RANDOM_ANNOTATORS", "1")
+    from fgdm_tpu.cli import train as train_cli
+
+    logdir = root / "logs_sketch"
+    train_cli.main([
+        "-b", str(cfg_path), "-t", "--max_steps", "1",
+        "-l", str(logdir), "-n", "sketchrun", "--seed", "7",
+        "model.params.use_sketch=True",
+    ])
+    run = next(logdir.iterdir())
+    assert list((run / "checkpoints").iterdir())
+
+
 def test_train_cli_validate_only(workspace, monkeypatch):
     """Without -t the CLI validates config and exits cleanly."""
     root, cfg_path = workspace
