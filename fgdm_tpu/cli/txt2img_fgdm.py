@@ -65,6 +65,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="file with one prompt per line")
     p.add_argument("--n_rows", type=int, default=0,
                    help="grid row count (0 = no grid)")
+    p.add_argument("--inference_loss", action="store_true",
+                   help="attention-alignment guidance inside DDIM "
+                        "(reference ddim.py:190-191,288-376)")
     return p
 
 
@@ -103,14 +106,19 @@ def main(argv=None):
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
     b = opt.n_samples
     if opt.from_file:
+        # per-prompt batch loop, chunked to the sample batch size
+        # (reference scripts/txt2img.py:337-394); the last chunk is padded
+        # by repetition to keep the compiled shape static.
         with open(opt.from_file) as f:
             prompts = [l.strip() for l in f if l.strip()]
         if not prompts:
             raise SystemExit(f"--from-file {opt.from_file} has no prompts")
-        opt.prompt = prompts[0]  # batch shares geometry; iterate n_iter
-    prompt_ids = jnp.asarray(tok([opt.prompt] * b))
+        prompt_batches = [prompts[i:i + b] for i in range(0, len(prompts), b)]
+        prompt_batches = [pb + [pb[-1]] * (b - len(pb))
+                          for pb in prompt_batches]
+    else:
+        prompt_batches = [[opt.prompt] * b]
     empty_ids = jnp.asarray(tok([opt.n_prompt] * b))
-    ctx = ld.get_learned_conditioning(prompt_ids)
     uc = ld.get_learned_conditioning(empty_ids)
 
     rng = jax.random.PRNGKey(opt.seed)
@@ -122,13 +130,12 @@ def main(argv=None):
         rng, code_rng = jax.random.split(rng)
         x_T = jax.random.normal(code_rng, shape, jnp.float32)
 
-    cond = {"c_crossattn": ctx}
     uncond = {"c_crossattn": uc}
 
     adapter_on = not opt.use_original
 
     @jax.jit
-    def sample_f1(ld, rng):
+    def sample_f1(ld, rng, cond):
         fn = ld.denoise_fn(adapter_on=adapter_on)
         if opt.plms:
             z, _ = plms_sample(fn, rng, shape, sched, cond,
@@ -138,8 +145,11 @@ def main(argv=None):
                                   cond, uncond, cfg_scale=opt.scale,
                                   steps=opt.ddim_steps, x_T=x_T)
         else:
+            gfn = (ld.capture_fn(adapter_on=adapter_on)
+                   if opt.inference_loss else None)
             z, _ = ddim_sample(fn, rng, shape, sched, cond,
-                               uncond, cfg_scale=opt.scale, x_T=x_T)
+                               uncond, cfg_scale=opt.scale, x_T=x_T,
+                               guidance_fn=gfn)
         return z, ld.decode_first_stage(z)
 
     cldm = None
@@ -147,60 +157,64 @@ def main(argv=None):
         cn_ckpt = opt.cn_ckpt or f"models/fgdm_control_sd15_{opt.cond}.pth"
         cn_ckpt = cn_ckpt if os.path.exists(cn_ckpt) else None
         cldm = load_controlnet(cn_ckpt, dtype=dtype, share_first_stage=None)
-        cn_prompt_ids = jnp.asarray(
-            tok([opt.prompt + ", " + chain_mod.A_PROMPT] * b)
-        )
         cn_neg_ids = jnp.asarray(tok([chain_mod.N_PROMPT] * b))
-        cn_ctx = cldm.get_learned_conditioning(cn_prompt_ids)
-        cn_uc = cldm.get_learned_conditioning(cn_neg_ids)
+        cn_uncond = cldm.get_learned_conditioning(cn_neg_ids)
 
         @jax.jit
-        def sample_f2(cldm, hint, rng):
+        def sample_f2(cldm, hint, rng, cn_ctx):
             z = chain_mod.sample_image_factor(
-                cldm, rng, hint, cn_ctx, cn_uc, num_steps=20, cfg_scale=9.0
+                cldm, rng, hint, cn_ctx, cn_uncond, num_steps=20,
+                cfg_scale=9.0
             )
             return cldm.decode_first_stage(z)
 
     from PIL import Image
 
     for it in range(opt.n_iter):
-        rng, f1_rng, f2_rng = jax.random.split(rng, 3)
-        t0 = time.perf_counter()
-        z, cond_img = sample_f1(ld, f1_rng)
-        cond_img.block_until_ready()
-        t1 = time.perf_counter()
-        print(f"[factor1] {b} maps in {t1 - t0:.2f}s "
-              f"({b / (t1 - t0):.3f} img/s)")
+        for pi, pbatch in enumerate(prompt_batches):
+            rng, f1_rng, f2_rng = jax.random.split(rng, 3)
+            cond = {"c_crossattn": ld.get_learned_conditioning(
+                jnp.asarray(tok(pbatch)))}
+            t0 = time.perf_counter()
+            z, cond_img = sample_f1(ld, f1_rng, cond)
+            cond_img.block_until_ready()
+            t1 = time.perf_counter()
+            print(f"[factor1] {b} maps in {t1 - t0:.2f}s "
+                  f"({b / (t1 - t0):.3f} img/s)")
 
-        cond01 = np.asarray(
-            jnp.clip((cond_img + 1.0) / 2.0, 0, 1) * 255
-        ).astype(np.uint8)
-        if opt.n_rows > 0:
-            from fgdm_tpu.train.metrics import make_grid
+            tag = f"{it:02}_{pi:02}" if len(prompt_batches) > 1 else f"{it:02}"
+            cond01 = np.asarray(
+                jnp.clip((cond_img + 1.0) / 2.0, 0, 1) * 255
+            ).astype(np.uint8)
+            if opt.n_rows > 0:
+                from fgdm_tpu.train.metrics import make_grid
 
-            Image.fromarray(make_grid(cond01, nrow=opt.n_rows)).save(
-                os.path.join(sample_path, f"grid_{it:02}.png"))
-        for i, arr in enumerate(cond01):
-            im = Image.fromarray(arr)
-            if opt.resize:
-                im = im.resize((512, 512))
-            im.save(os.path.join(sample_path, "sample1",
-                                 f"sample1_{it:02}_{i:04}.png"))
+                Image.fromarray(make_grid(cond01, nrow=opt.n_rows)).save(
+                    os.path.join(sample_path, f"grid_{tag}.png"))
+            for i, arr in enumerate(cond01):
+                im = Image.fromarray(arr)
+                if opt.resize:
+                    im = im.resize((512, 512))
+                im.save(os.path.join(sample_path, "sample1",
+                                     f"sample1_{tag}_{i:04}.png"))
 
-        if cldm is not None:
-            hint = chain_mod.latent_to_condition_image(ld, z, (512, 512))
-            t2 = time.perf_counter()
-            img = sample_f2(cldm, hint, f2_rng)
-            img.block_until_ready()
-            t3 = time.perf_counter()
-            print(f"[factor2] {b} images in {t3 - t2:.2f}s "
-                  f"({b / (t3 - t2):.3f} img/s)")
-            out_dir = os.path.join(sample_path, f"{opt.cond}_images")
-            os.makedirs(out_dir, exist_ok=True)
-            arr = np.asarray(jnp.clip((img + 1) / 2, 0, 1) * 255).astype(np.uint8)
-            for i, a in enumerate(arr):
-                Image.fromarray(a).save(
-                    os.path.join(out_dir, f"sample1_{it:02}_{i:04}.png"))
+            if cldm is not None:
+                cn_ctx = cldm.get_learned_conditioning(jnp.asarray(
+                    tok([p + ", " + chain_mod.A_PROMPT for p in pbatch])))
+                hint = chain_mod.latent_to_condition_image(ld, z, (512, 512))
+                t2 = time.perf_counter()
+                img = sample_f2(cldm, hint, f2_rng, cn_ctx)
+                img.block_until_ready()
+                t3 = time.perf_counter()
+                print(f"[factor2] {b} images in {t3 - t2:.2f}s "
+                      f"({b / (t3 - t2):.3f} img/s)")
+                out_dir = os.path.join(sample_path, f"{opt.cond}_images")
+                os.makedirs(out_dir, exist_ok=True)
+                arr = np.asarray(
+                    jnp.clip((img + 1) / 2, 0, 1) * 255).astype(np.uint8)
+                for i, a in enumerate(arr):
+                    Image.fromarray(a).save(
+                        os.path.join(out_dir, f"sample1_{tag}_{i:04}.png"))
 
     print(f"Samples written to {opt.outdir}")
 

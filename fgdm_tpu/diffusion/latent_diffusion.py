@@ -102,6 +102,16 @@ class LatentDiffusion:
 
         return fn
 
+    def capture_fn(self, adapter_on: bool = True, mode: str = "probs"):
+        """Closure with (x, t, cond) -> (eps, selfattn, crossattn) for the
+        attention-guided sampler (reference return_ids=True path)."""
+
+        def fn(x, t, cond):
+            return self.apply_model(x, t, cond, adapter_on=adapter_on,
+                                    capture=mode)
+
+        return fn
+
     # -- q / p math (delegates to schedule) ---------------------------------
     def q_sample(self, x_start, t, noise):
         return self.schedule.q_sample(x_start, t, noise)

@@ -47,7 +47,7 @@ class CrossAttention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
-        capture: bool = False,
+        capture=False,  # False | True/'sim' | 'probs' (static)
         attn_editor=None,  # Callable[[probs BHNK, is_cross], probs] — ptp
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         h = self.heads
@@ -69,20 +69,29 @@ class CrossAttention(nn.Module):
             return t.transpose(0, 2, 1, 3).reshape(b, n, hh * d)
 
         qh, kh, vh = split(q), split(k), split(v)
+        # static capture modes: False = none; True/"sim" = head-averaged
+        # pre-softmax sim (the reference hook output ``out[1]``,
+        # attention.py:170-175 — distillation path); "probs" = per-head
+        # post-softmax probabilities [B,h,N,M] (the ``*M`` classes' output,
+        # attention.py:341-342 — inference-time alignment guidance path).
+        want_probs = capture == "probs"
         probs = None
-        if attn_editor is not None:
+        if attn_editor is not None or want_probs:
             # explicit-probability path: softmax probs are materialized,
-            # routed through the editor (prompt-to-prompt injection —
-            # replaces the reference's CrossAttention monkeypatch,
-            # utils/ptp_utils.py:333-400), then applied to v.
+            # optionally routed through the editor (prompt-to-prompt
+            # injection — replaces the reference's CrossAttention
+            # monkeypatch, utils/ptp_utils.py:333-400), then applied to v.
             sim = jnp.einsum(
                 "bhid,bhjd->bhij", qh.astype(jnp.float32),
                 kh.astype(jnp.float32)
             ) * scale
             attn = jax.nn.softmax(sim, axis=-1)
-            attn = attn_editor(attn, is_cross)
+            if attn_editor is not None:
+                attn = attn_editor(attn, is_cross)
             out = jnp.einsum("bhij,bhjd->bhid", attn.astype(vh.dtype), vh)
-            if capture:
+            if want_probs:
+                probs = attn
+            elif capture:
                 probs = jnp.mean(sim, axis=1)
         elif capture:
             out, probs = attention_with_scores(qh, kh, vh, scale)
@@ -140,7 +149,7 @@ class BasicTransformerBlock(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
-        capture: bool = False,
+        capture=False,  # False | True/'sim' | 'probs' (static)
         attn_editor=None,
     ):
         y1, self_probs = CrossAttention(
@@ -175,7 +184,7 @@ class SpatialTransformer(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         adapt_q: Optional[jnp.ndarray] = None,
-        capture: bool = False,
+        capture=False,  # False | True/'sim' | 'probs' (static)
         attn_editor=None,
     ):
         b, hh, ww, c = x.shape

@@ -94,6 +94,7 @@ def ddim_sample(
     x0: Optional[jnp.ndarray] = None,
     schedule: Optional[DiffusionSchedule] = None,
     ucg_schedule: Optional[jnp.ndarray] = None,  # [S] per-step CFG scales
+    guidance_fn: Optional[Callable] = None,  # (x,t,cond)->(eps,self,cross)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full DDIM sampling loop.
 
@@ -102,6 +103,10 @@ def ddim_sample(
     ``mask``/``x0`` enable inpainting: known regions are re-noised from x0
     each step and composited (reference ddim.py:150-155: ``img = q_sample(
     x0,t)*mask + (1-mask)*img``; mask=1 marks *kept* regions).
+    ``guidance_fn`` (a capture-mode apply_model) enables the inference-time
+    attention-alignment inner loop (reference ``inference_loss=True``,
+    ddim.py:190-191,228-231): the model input is nudged by
+    ``x ← x − ∇ₓ(align_loss)`` before the eps prediction at scheduled steps.
     """
     if mask is not None:
         assert x0 is not None and schedule is not None, \
@@ -124,7 +129,12 @@ def ddim_sample(
             x = img_orig * mask + (1.0 - mask) * x
         # per-step guidance-scale schedule (cldm ddim_hacked ucg_schedule)
         scale = cfg_scale if ucg_schedule is None else ucg_schedule[i]
-        e_t = cfg_eps(denoise_fn, x, t, cond, uncond, scale)
+        if guidance_fn is not None:
+            from fgdm_tpu.sampling.guidance import guided_cfg_eps
+
+            e_t = guided_cfg_eps(guidance_fn, x, t, cond, uncond, scale, i)
+        else:
+            e_t = cfg_eps(denoise_fn, x, t, cond, uncond, scale)
         noise = (
             jax.random.normal(step_rng, shape, jnp.float32) if eta_on else None
         )
