@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from fgdm_tpu.core.schedules import DDIMSchedule
 from fgdm_tpu.diffusion.control import ControlLDM
 from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+from fgdm_tpu.models.controlnet import guess_mode_scales
 from fgdm_tpu.sampling.ddim import ddim_sample
 
 A_PROMPT = "best quality, extremely detailed"
@@ -86,6 +87,7 @@ def sample_image_factor(
     num_steps: int = 20,
     cfg_scale: float = 9.0,
     eta: float = 0.0,
+    strength: float = 1.0,
     guess_mode: bool = False,
     x_T: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -93,13 +95,35 @@ def sample_image_factor(
     sched = DDIMSchedule.create(cldm.schedule, num_steps, eta=eta)
     b, hh, ww, _ = hint.shape
     shape = (b, hh // 8, ww // 8, cldm.unet_def.in_channels)
-    # In non-guess mode the hint rides in both cond and uncond branches
+    if guess_mode:
+        # Reference guess mode (initialize_cn.py:86-91): the uncond branch
+        # gets c_concat=None — the UNet runs with NO control residuals at
+        # all (a zero hint would still produce residuals) — and the control
+        # scales decay geometrically.  The branches differ structurally, so
+        # they are two forwards instead of one fused batch.
+        cldm = cldm.replace(control_scales=guess_mode_scales(
+            strength, num=len(cldm.control_scales)))
+
+        def fn(x, t, cond_d):
+            e_c = cldm.apply_model(x, t, cond_d)
+            e_uc = cldm.apply_model(x, t, {"c_crossattn": uncond_ctx})
+            return e_uc + cfg_scale * (e_c - e_uc)
+
+        samples, _ = ddim_sample(
+            fn, rng, shape, sched,
+            cond={"c_crossattn": cond_ctx, "c_concat": hint},
+            uncond=None, cfg_scale=1.0, x_T=x_T,
+        )
+        return samples
+    if strength != 1.0:
+        cldm = cldm.replace(
+            control_scales=(strength,) * len(cldm.control_scales))
+    # The hint rides in both cond and uncond branches
     # (initialize_cn.py:86-87), so the fused-CFG concat handles it.
-    uncond_hint = jnp.zeros_like(hint) if guess_mode else hint
     samples, _ = ddim_sample(
         cldm.denoise_fn(), rng, shape, sched,
         cond={"c_crossattn": cond_ctx, "c_concat": hint},
-        uncond={"c_crossattn": uncond_ctx, "c_concat": uncond_hint},
+        uncond={"c_crossattn": uncond_ctx, "c_concat": hint},
         cfg_scale=cfg_scale, x_T=x_T,
     )
     return samples

@@ -126,6 +126,61 @@ def test_chain_end_to_end(tiny_pipeline):
         assert np.all(np.isfinite(np.asarray(v)))
 
 
+def test_guess_mode_uncond_has_no_control(tiny_pipeline):
+    """Guess mode (initialize_cn.py:86-91): the uncond branch runs with NO
+    ControlNet residuals (c_concat=None), not a zero hint, and the decayed
+    control_scales apply.  Verified against an explicit two-forward CFG."""
+    _, cldm = tiny_pipeline
+    # randomize the zero-init taps so control actually perturbs the UNet
+    rng = np.random.default_rng(0)
+    cp = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape).astype(np.float32) * 0.02),
+        cldm.control_params)
+    # ...and the UNet's zero-init output head, so eps ≠ 0
+    up = jax.tree.map(
+        lambda p: p + jnp.asarray(
+            rng.standard_normal(p.shape).astype(np.float32) * 0.02),
+        cldm.unet_params)
+    cldm = cldm.replace(control_params=cp, unet_params=up)
+    hint = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 77, 64)), jnp.float32)
+    nctx = jnp.zeros((1, 77, 64))
+
+    z = chain.sample_image_factor(
+        cldm, jax.random.PRNGKey(5), hint, ctx, nctx,
+        num_steps=2, cfg_scale=3.0, guess_mode=True)
+    assert np.all(np.isfinite(np.asarray(z)))
+
+    # explicit reference semantics: decayed scales, uncond without control
+    gscales = guess_mode_scales(1.0, num=len(cldm.control_scales))
+    cldm_g = cldm.replace(control_scales=gscales)
+    from fgdm_tpu.core.schedules import DDIMSchedule
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    sched = DDIMSchedule.create(cldm.schedule, 2)
+
+    def fn(x, t, cond_d):
+        e_c = cldm_g.apply_model(x, t, cond_d)
+        e_uc = cldm_g.apply_model(x, t, {"c_crossattn": nctx})
+        return e_uc + 3.0 * (e_c - e_uc)
+
+    want, _ = ddim_sample(
+        fn, jax.random.PRNGKey(5), z.shape, sched,
+        cond={"c_crossattn": ctx, "c_concat": hint}, uncond=None,
+        cfg_scale=1.0)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want), atol=1e-5)
+
+    # and it must differ from the old zero-hint-uncond behaviour
+    zero_hint_uncond, _ = ddim_sample(
+        cldm_g.denoise_fn(), jax.random.PRNGKey(5), z.shape, sched,
+        cond={"c_crossattn": ctx, "c_concat": hint},
+        uncond={"c_crossattn": nctx, "c_concat": jnp.zeros_like(hint)},
+        cfg_scale=3.0)
+    assert not np.allclose(np.asarray(z), np.asarray(zero_hint_uncond),
+                           atol=1e-5)
+
+
 def test_quantize_like_png():
     x = jnp.array([0.0, 0.5, 1.0, 1.5, -0.2])
     q = chain.quantize_like_png(x)
