@@ -89,6 +89,10 @@ class LatentDiffusion:
             kwargs["y"] = cond["c_adm"]
         if "pcond" in cond and cond["pcond"] is not None:
             kwargs["pcond"] = cond["pcond"]
+        if "extra_pconds" in cond and cond["extra_pconds"] is not None:
+            # multi-adapter composition (AdaptUNetModel, openaimodel.py:
+            # 1291-1309): earlier chain factors feed the extra adapters
+            kwargs["extra_pconds"] = cond["extra_pconds"]
         return self.unet_def.apply(
             self.unet_params, xc, t, adapter_on=adapter_on, capture=capture,
             **kwargs,

@@ -129,6 +129,78 @@ def sample_image_factor(
     return samples
 
 
+def fgdm_chain_n(
+    factors: Sequence[LatentDiffusion],
+    cldm: Optional[ControlLDM],
+    rng: jax.Array,
+    factor_ctxs: Sequence[jnp.ndarray],   # per-factor prompt embeddings
+    empty_ctx: jnp.ndarray,               # "" embedding (factor uncond)
+    cn_prompt_ctx: Optional[jnp.ndarray] = None,
+    cn_neg_ctx: Optional[jnp.ndarray] = None,
+    cond_hw: Tuple[int, int] = (256, 256),
+    image_hw: Tuple[int, int] = (512, 512),
+    factor_steps: int = 50,
+    factor_scale: float = 7.5,
+    f2_steps: int = 20,
+    f2_scale: float = 9.0,
+    all_pconds: bool = False,
+) -> Dict[str, Any]:
+    """N-factor chain (text→seg→depth→normal→…→image) in one traced program
+    — BASELINE config #3.
+
+    Each condition factor k > 0 is adapter-prompted by the previous factor's
+    sampled latent (``pcond``), the FG-DM conditioning mechanism
+    (`/root/reference/ldm/modules/diffusionmodules/openaimodel.py:836-844`:
+    adapter input = pcond when given).  With ``all_pconds=True`` and a
+    ``num_prompts>1`` UNet, every earlier factor feeds an extra adapter
+    (multi-adapter composition, `openaimodel.py:1291-1309`).  The optional
+    ControlNet image factor renders the LAST condition map.
+
+    Returns {'conditions': [per-factor [0,1] maps], 'image': [-1,1] or None}.
+    """
+    assert len(factors) == len(factor_ctxs), "one prompt ctx per factor"
+    latent_hw = (cond_hw[0] // 8, cond_hw[1] // 8)
+    zs = []
+    for k, (ld_k, ctx_k) in enumerate(zip(factors, factor_ctxs)):
+        rng, rk = jax.random.split(rng)
+        cond: Dict[str, Any] = {"c_crossattn": ctx_k}
+        uncond: Dict[str, Any] = {"c_crossattn": empty_ctx}
+        if k > 0:
+            # chain conditioning: previous factor's latent is this factor's
+            # adapter prompt (both CFG branches see it, like the hint in
+            # initialize_cn.py:86-87)
+            cond["pcond"] = uncond["pcond"] = zs[-1]
+            if all_pconds and k > 1:
+                extra = list(zs[:-1])
+                cond["extra_pconds"] = uncond["extra_pconds"] = extra
+        sched = DDIMSchedule.create(ld_k.schedule, factor_steps)
+        b = ctx_k.shape[0]
+        shape = (b, latent_hw[0], latent_hw[1], ld_k.unet_def.in_channels)
+        z_k, _ = ddim_sample(
+            ld_k.denoise_fn(), rk, shape, sched, cond=cond, uncond=uncond,
+            cfg_scale=factor_scale,
+        )
+        zs.append(z_k)
+
+    conditions = [
+        jnp.clip((ld_k.decode_first_stage(z_k) + 1.0) / 2.0, 0.0, 1.0)
+        for ld_k, z_k in zip(factors, zs)
+    ]
+    image = None
+    if cldm is not None:
+        rng, r2 = jax.random.split(rng)
+        hint = quantize_like_png(conditions[-1])
+        b, h, w, c = hint.shape
+        hint = jax.image.resize(hint, (b, image_hw[0], image_hw[1], c),
+                                "bilinear")
+        z_img = sample_image_factor(
+            cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
+            num_steps=f2_steps, cfg_scale=f2_scale,
+        )
+        image = cldm.decode_first_stage(z_img)
+    return {"conditions": conditions, "image": image}
+
+
 def fgdm_chain(
     ld: LatentDiffusion,
     cldm: ControlLDM,

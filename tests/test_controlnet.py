@@ -181,6 +181,59 @@ def test_guess_mode_uncond_has_no_control(tiny_pipeline):
                            atol=1e-5)
 
 
+def test_chain_n_three_factors(tiny_pipeline):
+    """BASELINE config #3: text→seg→depth→normal→image as ONE jitted call;
+    each factor adapter-prompted by the previous factor's latent."""
+    ld, cldm = tiny_pipeline
+    # three condition factors sharing the tiny architecture (separate
+    # checkpoints in production); randomize so factors differ
+    rng0 = np.random.default_rng(0)
+    factors = []
+    for k in range(3):
+        perturb = lambda p: p + jnp.asarray(
+            rng0.standard_normal(p.shape).astype(np.float32) * 0.02)
+        factors.append(ld.replace(
+            unet_params=jax.tree.map(perturb, ld.unet_params)))
+    ctx = jnp.zeros((1, 77, 64))
+
+    @jax.jit
+    def run(rng):
+        return chain.fgdm_chain_n(
+            factors, cldm, rng, [ctx, ctx, ctx], ctx,
+            cn_prompt_ctx=ctx, cn_neg_ctx=ctx,
+            cond_hw=(64, 64), image_hw=(64, 64),
+            factor_steps=2, f2_steps=2,
+        )
+
+    out = run(jax.random.PRNGKey(3))
+    assert len(out["conditions"]) == 3
+    for c in out["conditions"]:
+        assert c.shape == (1, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(c)))
+    assert out["image"].shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(out["image"])))
+
+    # the chain really conditions on the previous factor: factor 2's output
+    # changes when factor 1's params change (through pcond)
+    factors_b = list(factors)
+    rngb = np.random.default_rng(99)
+    factors_b[0] = factors[0].replace(unet_params=jax.tree.map(
+        lambda p: p + jnp.asarray(
+            rngb.standard_normal(p.shape).astype(np.float32) * 0.1),
+        factors[0].unet_params))
+
+    @jax.jit
+    def run_b(rng):
+        return chain.fgdm_chain_n(
+            factors_b, None, rng, [ctx, ctx, ctx], ctx,
+            cond_hw=(64, 64), factor_steps=2,
+        )
+
+    out_b = run_b(jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(out["conditions"][1]),
+                           np.asarray(out_b["conditions"][1]))
+
+
 def test_quantize_like_png():
     x = jnp.array([0.0, 0.5, 1.0, 1.5, -0.2])
     q = chain.quantize_like_png(x)
