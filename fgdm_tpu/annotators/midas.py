@@ -164,6 +164,34 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
+def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int
+                         ) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics (the DPT
+    fusion/head interpolates use it, blocks.py:295,332; dpt_depth.py:94) —
+    jax.image.resize only offers half-pixel centers."""
+    b, h, w, c = x.shape
+
+    def axis(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            z = jnp.zeros((n_out,))
+            return z, z.astype(jnp.int32), z.astype(jnp.int32)
+        pos = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        return (pos - lo).astype(x.dtype), lo, hi
+
+    fy, ylo, yhi = axis(h, out_h)
+    fx, xlo, xhi = axis(w, out_w)
+    rows_lo, rows_hi = x[:, ylo], x[:, yhi]
+
+    def lerp_x(r):
+        return (r[:, :, xlo] * (1 - fx)[None, None, :, None]
+                + r[:, :, xhi] * fx[None, None, :, None])
+
+    top, bot = lerp_x(rows_lo), lerp_x(rows_hi)
+    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+
+
 class FeatureFusion(nn.Module):
     features: int = 256
     dtype: Dtype = jnp.float32
@@ -176,7 +204,7 @@ class FeatureFusion(nn.Module):
         x = ResidualConvUnit(self.features, dtype=self.dtype,
                              name="resConfUnit2")(x)
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        x = resize_align_corners(x, h * 2, w * 2)
         return Conv2d(self.features, 1, padding=0, dtype=self.dtype,
                       name="out_conv")(x)
 
@@ -229,7 +257,13 @@ class DPTHybrid(nn.Module):
 
         l3 = readout(taps[0], "readout3")
         l4 = readout(taps[1], "readout4")
-        # reassemble: layer3 stays 1/16 @768; layer4 → 1/32 @768
+        # reassemble (vit.py:429-460): each tap gets a 1×1 768→768 conv
+        # (act_postprocess{3,4}.3); layer4 additionally downsamples to 1/32
+        # with a 3×3 stride-2 conv (act_postprocess4.4)
+        l3 = Conv2d(self.embed_dim, 1, padding=0, dtype=self.dtype,
+                    name="act_postprocess3_proj")(l3)
+        l4 = Conv2d(self.embed_dim, 1, padding=0, dtype=self.dtype,
+                    name="act_postprocess4_proj")(l4)
         l4 = Conv2d(self.embed_dim, 3, stride=2, padding=1, dtype=self.dtype,
                     name="act_postprocess4")(l4)
 
@@ -253,7 +287,7 @@ class DPTHybrid(nn.Module):
         h = Conv2d(self.features // 2, 3, dtype=self.dtype,
                    name="head_conv1")(p1)
         bh, hh2, ww2, c = h.shape
-        h = jax.image.resize(h, (bh, hh2 * 2, ww2 * 2, c), "bilinear")
+        h = resize_align_corners(h, hh2 * 2, ww2 * 2)
         h = Conv2d(32, 3, dtype=self.dtype, name="head_conv2")(h)
         h = jax.nn.relu(h)
         h = Conv2d(1, 1, padding=0, dtype=self.dtype, name="head_conv3")(h)

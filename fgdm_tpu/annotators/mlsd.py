@@ -157,10 +157,13 @@ class BlockTypeC(nn.Module):
                        nn.initializers.variance_scaling(
                            2.0, "fan_out", "normal"),
                        (3, 3, in_c, in_c), jnp.float32)
+        kb = self.param("conv1_bias", nn.initializers.zeros, (in_c,),
+                        jnp.float32)
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k.astype(self.dtype), (1, 1),
             [(5, 5), (5, 5)], rhs_dilation=(5, 5),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + kb.astype(x.dtype)  # reference nn.Conv2d default bias=True
         x = jax.nn.relu(FrozenBatchNorm(name="bn1")(x))
         x = Conv2d(in_c, 3, dtype=self.dtype, name="conv2")(x)
         x = jax.nn.relu(FrozenBatchNorm(name="bn2")(x))

@@ -109,7 +109,10 @@ class BodyPoseNet(nn.Module):
             inp = jnp.concatenate([paf, heat, feat], axis=-1)
             paf = branch(inp, s, 1, 38)
             heat = branch(inp, s, 2, 19)
-        return paf, heat
+        # reference quirk: its no_relu_layers lists Mconv7_stage6_L1 twice
+        # and never Mconv7_stage6_L2, so the FINAL heat conv is relu'ed
+        # (model.py:30-33) — reproduced for checkpoint parity
+        return paf, jax.nn.relu(heat)
 
 
 def find_peaks(heat: np.ndarray, thre1: float = 0.1) -> List[List[Tuple]]:

@@ -104,7 +104,7 @@ class SABlock(nn.Module):
         x = x + dw_conv(x, self.dim, 3, "pos_embed", self, self.dtype)
         b, hh, ww, c = x.shape
         t = x.reshape(b, hh * ww, c)
-        h = LayerNorm32(name="norm1")(t)
+        h = LayerNorm32(eps=1e-6, name="norm1")(t)
         qkv = Dense(self.dim * 3, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         dh = self.dim // self.num_heads
@@ -118,7 +118,7 @@ class SABlock(nn.Module):
         o = jnp.einsum("bhij,bhjd->bhid", att.astype(v.dtype), split(v))
         o = o.transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
         t = t + Dense(self.dim, dtype=self.dtype, name="proj")(o)
-        h = LayerNorm32(name="norm2")(t)
+        h = LayerNorm32(eps=1e-6, name="norm2")(t)
         h = Dense(self.dim * 4, dtype=self.dtype, name="mlp_fc1")(h)
         h = jax.nn.gelu(h.astype(jnp.float32)).astype(h.dtype)
         h = Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
@@ -157,7 +157,7 @@ class UniFormer(nn.Module):
                 else:
                     x = SABlock(dim, dim // self.head_dim, dtype=self.dtype,
                                 name=f"blocks{s + 1}_{i}")(x)
-            outs.append(LayerNorm32(name=f"norm{s + 1}")(x))
+            outs.append(LayerNorm32(eps=1e-6, name=f"norm{s + 1}")(x))
         return tuple(outs)
 
 
