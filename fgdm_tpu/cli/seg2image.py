@@ -72,6 +72,8 @@ def main(argv=None):
         cldm = cldm.replace(control_scales=(opt.strength,) * 13)
 
     tok = CLIPTokenizer()
+    if cn_ckpt is not None:
+        tok.check_production("seg2image")
     full_prompt = (opt.prompt + ", " + opt.a_prompt) if opt.prompt \
         else opt.a_prompt
     ctx = cldm.get_learned_conditioning(jnp.asarray(tok([full_prompt])))

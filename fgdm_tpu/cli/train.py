@@ -174,6 +174,8 @@ def main(argv=None):
     val_ds = (instantiate_from_config(data_cfg["validation"])
               if "validation" in data_cfg else None)
     tokenizer = CLIPTokenizer()
+    if ckpt_path:
+        tokenizer.check_production("training")
 
     # -- optimizer / mesh --------------------------------------------------
     mesh = create_mesh(n_data=len(jax.devices()))

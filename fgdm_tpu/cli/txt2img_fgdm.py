@@ -104,6 +104,8 @@ def main(argv=None):
                        spec and spec.unet_def.use_time_adapter))
 
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
+    if ckpt is not None:
+        tok.check_production("txt2img_fgdm")
     b = opt.n_samples
     if opt.from_file:
         # per-prompt batch loop, chunked to the sample batch size

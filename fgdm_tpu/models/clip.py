@@ -146,13 +146,36 @@ class CLIPTokenizer:
         if vocab_dir:
             self._load_vocab(vocab_dir)
         self._byte_encoder = _bytes_to_unicode()
-        self._pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-            re.IGNORECASE,
+        # the exact CLIP pre-tokenization pattern (reference tokenizer /
+        # HF CLIPTokenizer); the `regex` module supports \p{L}/\p{N}
+        import regex
+
+        self._pat = regex.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            regex.IGNORECASE,
         )
         self._cache = {}
+
+    def check_production(self, context: str = "this run") -> None:
+        """Fail loud when real weights meet the hash-fallback tokenizer.
+
+        The hash fallback produces stable ids with correct shapes but NOT
+        CLIP id parity — running a real checkpoint with it silently degrades
+        output quality.  Set FGDM_ALLOW_HASH_TOKENIZER=1 to override (smoke
+        tests only)."""
+        if self.has_real_vocab:
+            return
+        if os.environ.get("FGDM_ALLOW_HASH_TOKENIZER") == "1":
+            print("[tokenizer] WARNING: hash-fallback tokenizer with real "
+                  f"weights in {context} (FGDM_ALLOW_HASH_TOKENIZER=1)")
+            return
+        raise SystemExit(
+            f"[tokenizer] {context} loaded real model weights but no CLIP "
+            "vocab is available — token ids would NOT match CLIP and output "
+            "quality would silently degrade. Point FGDM_CLIP_VOCAB_DIR (or "
+            "--vocab_dir) at a directory with vocab.json + merges.txt, or "
+            "set FGDM_ALLOW_HASH_TOKENIZER=1 to proceed anyway.")
 
     def _load_vocab(self, vocab_dir: str):
         vpath = os.path.join(vocab_dir, "vocab.json")
@@ -202,7 +225,7 @@ class CLIPTokenizer:
         text = html.unescape(html.unescape(text))
         text = re.sub(r"\s+", " ", text.strip()).lower()
         ids: List[int] = []
-        for tok in re.findall(self._pat, text):
+        for tok in self._pat.findall(text):
             tok = "".join(self._byte_encoder[b] for b in tok.encode("utf-8"))
             if self._encoder is not None:
                 for piece in self._bpe(tok):

@@ -75,3 +75,28 @@ def test_fallback_without_vocab():
     np.testing.assert_array_equal(a, b)  # deterministic
     c = tok(["different prompt"])
     assert not np.array_equal(a, c)
+
+
+def test_unicode_pretokenization():
+    """The exact CLIP \\p{L}/\\p{N} pattern: unicode letters group, digits
+    split singly (the old ASCII approximation broke both)."""
+    from fgdm_tpu.models.clip import CLIPTokenizer
+
+    tok = CLIPTokenizer()
+    words = tok._pat.findall("café 42 naïve")
+    assert "café" in words and "naïve" in words
+    assert "4" in words and "2" in words and "42" not in words
+
+
+def test_check_production_fails_without_vocab(monkeypatch):
+    from fgdm_tpu.models.clip import CLIPTokenizer
+
+    tok = CLIPTokenizer()
+    assert not tok.has_real_vocab
+    monkeypatch.delenv("FGDM_ALLOW_HASH_TOKENIZER", raising=False)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        tok.check_production("test")
+    monkeypatch.setenv("FGDM_ALLOW_HASH_TOKENIZER", "1")
+    tok.check_production("test")  # override allows it
