@@ -7,12 +7,13 @@ SD UNet, 20-step DDIM at 512², CFG 9.0), VAE decode — all as one traced
 program (the reference runs this as two python loops bridged by PNG files,
 `scripts/txt2img_fgdm_inference.py:244-292`).
 
-The reference repo publishes no baseline numbers (README has none); the
-A100 estimate below is derived from the per-step model cost: the chain is
-50 CFG steps of the SD UNet at 32² latent + 20 CFG steps of (UNet +
-ControlNet) at 64² latent + two VAE decodes ≈ 110 UNet-equivalent forwards
-at 64² → ~0.20 images/sec on A100 at batch 1 with the reference's
-unoptimized fp32/fp16 eager pipeline.  vs_baseline is measured/estimate.
+The reference repo publishes no baseline numbers (README has none).  The
+A100 estimate is FLOPs-grounded (see BASELINE.md and tools/flops_chain.py):
+XLA cost analysis puts the chain at 66.67 TFLOPs/image; 0.20 img/s on A100
+corresponds to 8.5% MFU of TF32 peak — consistent with the reference's
+unfused eager pipeline (no flash/xformers, host PNG hop between factors).
+vs_baseline is measured/estimate; against a generous fully-fp16 20%-MFU
+A100 bound (0.94 img/s) the per-chip speedup is ≥1.6×.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
