@@ -37,6 +37,13 @@ _FLASH_MIN_N = int(os.environ.get("FGDM_FLASH_MIN_N", "512"))
 # 512/1024 → 1.479 img/s (+5.3%).
 _FLASH_BLOCK_Q = int(os.environ.get("FGDM_FLASH_BLOCK_Q", "512"))
 _FLASH_BLOCK_K = int(os.environ.get("FGDM_FLASH_BLOCK_K", "1024"))
+# Transposed-layout kernel for small head dims (SD heads are 40/80/160):
+# keeps d on the *sublane* axis so d=40 pads to 40 (5 sublane tiles), not
+# to 128 lanes (3.2× MXU waste).  Kill-switch for A/B benchmarking.
+_FLASH_TRANSPOSED = os.environ.get("FGDM_FLASH_TRANSPOSED", "1") == "1"
+# Head dims at or above the lane width gain nothing from the transposed
+# layout (no padding to remove); keep the row-major kernel there.
+_TRANSPOSE_MAX_D = int(os.environ.get("FGDM_FLASH_TRANSPOSE_MAX_D", "96"))
 
 try:  # pallas TPU backend only exists on TPU builds
     from jax.experimental.pallas import tpu as pltpu
@@ -115,14 +122,284 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
     o_ref[0] = (acc / l_i).astype(o_ref.dtype)
 
 
-def _pad_to(x, axis, mult):
+def _flash_kernel_t(qt_ref, kt_ref, v_ref, ot_ref, *out_refs, scale, block_k,
+                    kv_len):
+    """Transposed-layout flash program: head dim on sublanes, queries on lanes.
+
+    Shapes inside the kernel: qt_ref [d, block_q], kt_ref [d, kv_len],
+    v_ref [kv_len, d], ot_ref [d, block_q].  With d ∈ {40, 80} (the SD-1.x
+    head dims at ds ∈ {1, 2}) every matmul is full-width:
+
+      scoresᵀ = dot(kᵀ, qᵀ) contracting d over *sublanes*  → [block_k, block_q]
+      accᵀ   += dot(v, p)   contracting block_k            → [d, block_q]
+
+    so the MXU never sees the 40→128 lane padding the row-major kernel pays
+    (3.2× wasted passes on both QKᵀ and PV at d=40).  Softmax stats are
+    [1, block_q] row vectors; the keys reduction runs over sublanes.
+
+    When an extra output ref is given, writes the per-query logsumexp of the
+    scaled scores into it ([1, block_q]) — the residual the flash backward
+    needs to rebuild p without a second softmax pass.
+    """
+    qt = qt_ref[0].astype(jnp.float32) * scale  # [d, block_q]
+    d, block_q = qt.shape
+    num_kb = kv_len // block_k
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        st = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, block_q]
+        m_new = jnp.maximum(m_i, jnp.max(st, axis=0, keepdims=True))
+        p = jnp.exp(st - m_new)  # [block_k, block_q]
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            v, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, block_q]
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((d, block_q), jnp.float32)
+    m_i = jnp.full((1, block_q), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((1, block_q), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+    ot_ref[0] = (acc / l_i).astype(ot_ref.dtype)
+    if out_refs:
+        out_refs[0][0] = m_i + jnp.log(l_i)
+
+
+def _t_layout(q, k, v, block_q, block_k):
+    """Shared prep for the transposed kernels: [B,H,N,D] → padded [BH,d,N]."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    qt = q.reshape(b * h, nq, d).swapaxes(1, 2)  # [BH, d, nq]
+    kt = k.reshape(b * h, nk, d).swapaxes(1, 2)  # [BH, d, nk]
+    v3 = v.reshape(b * h, nk, d)
+    # d on sublanes: pad to the 8-row tile; nq on lanes: pad to block_q.
+    qt, _ = _pad_to(qt, 1, 8)
+    kt, _ = _pad_to(kt, 1, 8)
+    v3, _ = _pad_to(v3, 2, 8)
+    qt, _ = _pad_to(qt, 2, block_q)
+    return qt, kt, v3
+
+
+def _pick_blocks(nq, nk, block_q, block_k):
+    block_q = min(block_q or _FLASH_BLOCK_Q, max(128, 1 << (nq - 1).bit_length()))
+    block_k = min(block_k or _FLASH_BLOCK_K, max(128, 1 << (nk - 1).bit_length()))
+    while nk % block_k and block_k > 128:
+        block_k //= 2
+    assert nk % block_k == 0, (nk, block_k)
+    return block_q, block_k
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "return_lse"))
+def _flash_attention_t(q, k, v, scale, block_q=None, block_k=None,
+                       return_lse=False):
+    """Transposed-layout flash attention: q [B,H,Nq,D] → [B,H,Nq,D].
+
+    The q/k transposes (and the output transpose back) are O(N·d) XLA
+    copies — noise next to the O(N²·d) attention compute they unlock.
+    With ``return_lse`` also returns the scaled-score logsumexp
+    [B*H, 1, nq_padded] consumed by ``_flash_backward_t``."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    qt, kt, v3 = _t_layout(q, k, v, block_q, block_k)
+    dp = qt.shape[1]
+    nqp = qt.shape[2]
+
+    grid = (b * h, nqp // block_q)
+    out_shape = [jax.ShapeDtypeStruct((b * h, dp, nqp), q.dtype)]
+    out_specs = [pl.BlockSpec((1, dp, block_q), lambda g, i: (g, 0, i))]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, nqp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q), lambda g, i: (g, 0, i)))
+    res = pl.pallas_call(
+        functools.partial(_flash_kernel_t, scale=scale, block_k=block_k,
+                          kv_len=nk),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dp, block_q), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((1, dp, nk), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, nk, dp), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=out_specs,
+        interpret=_INTERPRET,
+    )(qt, kt, v3)
+    out = res[0][:, :d, :nq].swapaxes(1, 2).reshape(b, h, nq, d)
+    if return_lse:
+        return out, res[1]
+    return out
+
+
+def _pad_to(x, axis, mult, value=0.0):
     size = x.shape[axis]
     rem = (-size) % mult
     if rem == 0:
         return x, size
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, rem)
-    return jnp.pad(x, pad), size
+    return jnp.pad(x, pad, constant_values=value), size
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash backward (transposed layout)
+# ---------------------------------------------------------------------------
+#
+# Standard two-kernel flash backward (Dao 2022 §B): rebuild p blockwise from
+# the saved logsumexp instead of materializing the N×N score matrix, with
+#   delta = rowsum(dO ∘ O)            (computed once in XLA)
+#   dS    = p ∘ (dP − delta),  dP = dO·Vᵀ
+#   dQ    = scale · dS·K,  dK = scale · dSᵀ·Q,  dV = pᵀ·dO
+# All matmuls keep d on sublanes / sequence on lanes, so d=40 costs 40 — the
+# same MXU-padding win as the forward.  Replaces the score-rematerializing
+# XLA VJP for training-time self-attention.
+
+def _flash_bwd_dq_kernel_t(qt_ref, kt_ref, vt_ref, dot_ref, lse_ref,
+                           delta_ref, dqt_ref, *, scale, block_k, kv_len):
+    """One (batch·head, q-block) program → dQᵀ [d, block_q]."""
+    qt = qt_ref[0].astype(jnp.float32) * scale   # [d, bq]
+    do = dot_ref[0].astype(jnp.float32)          # [d, bq]  (dOᵀ)
+    lse = lse_ref[0]                             # [1, bq]
+    delta = delta_ref[0]                         # [1, bq]
+    d, block_q = qt.shape
+    num_kb = kv_len // block_k
+
+    def body(i, acc):
+        kt = kt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        vt = vt_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        st = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bk, bq]
+        p = jnp.exp(st - lse)                        # [bk, bq]
+        dp = jax.lax.dot_general(
+            vt, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bk, bq]
+        ds_ = p * (dp - delta)                       # [bk, bq]
+        return acc + jax.lax.dot_general(
+            kt, ds_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [d, bq]
+
+    acc = jnp.zeros((d, block_q), jnp.float32)
+    acc = jax.lax.fori_loop(0, num_kb, body, acc)
+    dqt_ref[0] = (acc * scale).astype(dqt_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel_t(qt_ref, kt_ref, vt_ref, dot_ref, lse_ref,
+                            delta_ref, dkt_ref, dvt_ref, *, scale, block_q,
+                            q_len):
+    """One (batch·head, k-block) program → dKᵀ, dVᵀ [d, block_k].
+
+    Padded query rows are neutralized by the caller: lse is padded with +inf
+    (p = exp(−inf) = 0) so they contribute nothing to dK/dV.
+    """
+    kt = kt_ref[0].astype(jnp.float32)           # [d, bk]
+    vt = vt_ref[0].astype(jnp.float32)           # [d, bk]
+    d, block_k = kt.shape
+    num_qb = q_len // block_q
+
+    def body(i, carry):
+        acc_dk, acc_dv = carry
+        qt = qt_ref[0, :, pl.ds(i * block_q, block_q)].astype(
+            jnp.float32) * scale                 # [d, bq]
+        do = dot_ref[0, :, pl.ds(i * block_q, block_q)].astype(jnp.float32)
+        lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]    # [1, bq]
+        delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]
+        st = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, bq]
+        p = jnp.exp(st - lse)
+        dp = jax.lax.dot_general(
+            vt, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, bq]
+        ds_ = p * (dp - delta)                   # [bk, bq]
+        # A·Bᵀ-form dots: contract the lane (bq) axis of both operands.
+        acc_dv = acc_dv + jax.lax.dot_general(
+            do, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [d, bk]
+        acc_dk = acc_dk + jax.lax.dot_general(
+            qt, ds_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [d, bk]
+        return acc_dk, acc_dv
+
+    acc_dk = jnp.zeros((d, block_k), jnp.float32)
+    acc_dv = jnp.zeros((d, block_k), jnp.float32)
+    acc_dk, acc_dv = jax.lax.fori_loop(0, num_qb, body, (acc_dk, acc_dv))
+    dkt_ref[0] = acc_dk.astype(dkt_ref.dtype)
+    dvt_ref[0] = acc_dv.astype(dvt_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_backward_t(q, k, v, o, lse, do, scale, block_q=None, block_k=None):
+    """Flash attention backward, transposed layout → (dq, dk, dv)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    qt, kt, v3 = _t_layout(q, k, v, block_q, block_k)
+    vt = v3.swapaxes(1, 2)                             # [BH, d, nk]
+    dot_ = do.reshape(b * h, nq, d).swapaxes(1, 2)     # [BH, d, nq]
+    dot_, _ = _pad_to(dot_, 1, 8)
+    dot_, _ = _pad_to(dot_, 2, block_q)
+    dp_ = qt.shape[1]
+    nqp = qt.shape[2]
+    # delta = rowsum(dO ∘ O): one cheap XLA reduction, [BH, 1, nq].
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1).reshape(b * h, 1, nq)
+    delta, _ = _pad_to(delta, 2, block_q)
+    # lse arrives already padded to nqp from the forward; re-pad defensively
+    # with +inf so padded query rows have p = 0 in the dk/dv pass.
+    lse = lse[:, :, :nq]
+    lse, _ = _pad_to(lse, 2, block_q, value=jnp.inf)
+
+    dqt = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel_t, scale=scale,
+                          block_k=block_k, kv_len=nk),
+        out_shape=jax.ShapeDtypeStruct((b * h, dp_, nqp), q.dtype),
+        grid=(b * h, nqp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, dp_, block_q), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((1, dp_, nk), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, dp_, nk), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, dp_, block_q), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i: (g, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, dp_, block_q), lambda g, i: (g, 0, i)),
+        interpret=_INTERPRET,
+    )(qt, kt, vt, dot_, lse, delta)
+
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel_t, scale=scale,
+                          block_q=block_q, q_len=nqp),
+        out_shape=[jax.ShapeDtypeStruct((b * h, dp_, nk), q.dtype),
+                   jax.ShapeDtypeStruct((b * h, dp_, nk), q.dtype)],
+        grid=(b * h, nk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, dp_, nqp), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, dp_, block_k), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, dp_, block_k), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, dp_, nqp), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, 1, nqp), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, 1, nqp), lambda g, j: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dp_, block_k), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, dp_, block_k), lambda g, j: (g, 0, j)),
+        ],
+        interpret=_INTERPRET,
+    )(qt, kt, vt, dot_, lse, delta)
+
+    dq = dqt[:, :d, :nq].swapaxes(1, 2).reshape(b, h, nq, d)
+    dk = dkt[:, :d, :].swapaxes(1, 2).reshape(b, h, nk, d)
+    dv = dvt[:, :d, :].swapaxes(1, 2).reshape(b, h, nk, d)
+    return dq, dk, dv
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
@@ -173,20 +450,41 @@ def _on_tpu() -> bool:
         return False
 
 
-# Differentiable wrapper: flash forward, XLA-derived backward (the Pallas
-# kernel defines no transpose; the backward re-materializes scores — a
-# dedicated flash backward kernel is future work).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_op(q, k, v, scale):
+# Pallas flash backward kill-switch (A/B benchmarking; falls back to the
+# score-rematerializing XLA VJP).
+_FLASH_BWD = os.environ.get("FGDM_FLASH_BWD", "1") == "1"
+
+
+def _use_transposed(d):
+    return _FLASH_TRANSPOSED and d <= _TRANSPOSE_MAX_D
+
+
+def _flash_dispatch(q, k, v, scale):
+    """Route to the transposed-layout kernel for sub-lane-width head dims."""
+    if _use_transposed(q.shape[-1]):
+        return _flash_attention_t(q, k, v, scale)
     return _flash_attention(q, k, v, scale)
 
 
+# Differentiable wrapper: flash forward + flash backward (transposed layout);
+# the row-major kernel keeps an XLA-derived backward that re-materializes
+# scores.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_op(q, k, v, scale):
+    return _flash_dispatch(q, k, v, scale)
+
+
 def _flash_op_fwd(q, k, v, scale):
-    return _flash_attention(q, k, v, scale), (q, k, v)
+    if _FLASH_BWD and _use_transposed(q.shape[-1]):
+        o, lse = _flash_attention_t(q, k, v, scale, return_lse=True)
+        return o, (q, k, v, o, lse)
+    return _flash_dispatch(q, k, v, scale), (q, k, v, None, None)
 
 
 def _flash_op_bwd(scale, res, g):
-    q, k, v = res
+    q, k, v, o, lse = res
+    if lse is not None:
+        return _flash_backward_t(q, k, v, o, lse, g, scale)
     _, vjp = jax.vjp(
         lambda qq, kk, vv: _xla_attention(qq, kk, vv, scale).astype(qq.dtype),
         q, k, v,

@@ -40,6 +40,88 @@ def test_flash_attention_interpret_matches_xla(np_rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("d,nq,nk", [(40, 512, 512), (80, 384, 256),
+                                     (40, 512, 256)])
+def test_flash_attention_transposed_matches_xla(np_rng, monkeypatch, d, nq, nk):
+    monkeypatch.setattr(ka, "_INTERPRET", True)
+    q = np_rng.standard_normal((1, 2, nq, d)).astype(np.float32)
+    k = np_rng.standard_normal((1, 2, nk, d)).astype(np.float32)
+    v = np_rng.standard_normal((1, 2, nk, d)).astype(np.float32)
+    scale = 1 / math.sqrt(d)
+    ref = ka._xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+    out = ka._flash_attention_t(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+        block_q=128, block_k=128,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_dispatch_routes_small_head_dims(monkeypatch):
+    seen = []
+    monkeypatch.setattr(ka, "_flash_attention_t",
+                        lambda q, k, v, s: seen.append("t") or q)
+    monkeypatch.setattr(ka, "_flash_attention",
+                        lambda q, k, v, s: seen.append("row") or q)
+    monkeypatch.setattr(ka, "_FLASH_TRANSPOSED", True)
+    q40 = jnp.zeros((1, 1, 8, 40))
+    q128 = jnp.zeros((1, 1, 8, 128))
+    ka._flash_dispatch(q40, q40, q40, 1.0)
+    ka._flash_dispatch(q128, q128, q128, 1.0)
+    assert seen == ["t", "row"]
+
+
+@pytest.mark.parametrize("d,nq,nk", [(40, 512, 512), (80, 256, 384)])
+def test_flash_backward_transposed_matches_xla_vjp(np_rng, monkeypatch,
+                                                   d, nq, nk):
+    monkeypatch.setattr(ka, "_INTERPRET", True)
+    q = np_rng.standard_normal((1, 2, nq, d)).astype(np.float32)
+    k = np_rng.standard_normal((1, 2, nk, d)).astype(np.float32)
+    v = np_rng.standard_normal((1, 2, nk, d)).astype(np.float32)
+    g = np_rng.standard_normal((1, 2, nq, d)).astype(np.float32)
+    scale = 1 / math.sqrt(d)
+
+    _, xla_vjp = jax.vjp(
+        lambda qq, kk, vv: ka._xla_attention(qq, kk, vv, scale),
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    dq_ref, dk_ref, dv_ref = xla_vjp(jnp.asarray(g))
+
+    o, lse = ka._flash_attention_t(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+        block_q=128, block_k=128, return_lse=True)
+    dq, dk, dv = ka._flash_backward_t(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), o, lse,
+        jnp.asarray(g), scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_flash_op_grad_through_custom_vjp(np_rng, monkeypatch):
+    """End-to-end: jax.grad through _flash_op hits the Pallas backward."""
+    monkeypatch.setattr(ka, "_INTERPRET", True)
+    monkeypatch.setattr(ka, "_FLASH_BWD", True)
+    monkeypatch.setattr(ka, "_FLASH_TRANSPOSED", True)
+    q = jnp.asarray(np_rng.standard_normal((1, 1, 256, 40)), jnp.float32)
+    k = jnp.asarray(np_rng.standard_normal((1, 1, 256, 40)), jnp.float32)
+    v = jnp.asarray(np_rng.standard_normal((1, 1, 256, 40)), jnp.float32)
+    scale = 1 / math.sqrt(40)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(ka._flash_op(q, k, v, scale) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(ka._xla_attention(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+
+
 def test_scores_capture_is_head_averaged_presoftmax(np_rng):
     q = np_rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
     k = np_rng.standard_normal((2, 4, 12, 8)).astype(np.float32)
