@@ -41,6 +41,10 @@ _FLASH_BLOCK_K = int(os.environ.get("FGDM_FLASH_BLOCK_K", "1024"))
 # keeps d on the *sublane* axis so d=40 pads to 40 (5 sublane tiles), not
 # to 128 lanes (3.2× MXU waste).  Kill-switch for A/B benchmarking.
 _FLASH_TRANSPOSED = os.environ.get("FGDM_FLASH_TRANSPOSED", "1") == "1"
+# Transposed-path q block (lanes).  0 = per-shape auto: measured on v5e,
+# 1024 wins at [4096,d40] (3.49 vs 4.00 ms) and [1024,d40] (0.71 vs 0.78)
+# while 512 edges it at [1024,d80] (0.78 vs 0.81).
+_FLASH_T_BLOCK_Q = int(os.environ.get("FGDM_FLASH_T_BLOCK_Q", "0"))
 # Head dims at or above the lane width gain nothing from the transposed
 # layout (no padding to remove); keep the row-major kernel there.
 _TRANSPOSE_MAX_D = int(os.environ.get("FGDM_FLASH_TRANSPOSE_MAX_D", "96"))
@@ -73,13 +77,19 @@ def attention_with_scores(q, k, v, scale):
     The averaged *pre-softmax* scores mirror the reference's
     ``reshape_batch_dim_to_heads_and_average(sim)`` capture output
     (`attention.py:170-175,187-190`).
+
+    mean_h(Q_h·K_hᵀ·scale) contracts h and d jointly — one einsum with a
+    contraction width of h·d (320 for SD: MXU-perfect), so capture never
+    materializes the per-head [B,H,N,N] score tensor; the attention output
+    itself goes through ``multihead_attention`` (flash on TPU).  Capture
+    steps now cost ~the same as fast steps plus one [B,Nq,Nk] map.
     """
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    sim = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
-    return out, jnp.mean(sim, axis=1)
+    h = q.shape[1]
+    out = multihead_attention(q, k, v, scale)
+    scores = jnp.einsum(
+        "bhid,bhjd->bij", q, k, preferred_element_type=jnp.float32
+    ) * (float(scale) / h)
+    return out, scores
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +218,9 @@ def _flash_attention_t(q, k, v, scale, block_q=None, block_k=None,
     [B*H, 1, nq_padded] consumed by ``_flash_backward_t``."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    if block_q is None:
+        block_q = _FLASH_T_BLOCK_Q or (1024 if (nq >= 2048 or d <= 48)
+                                       else 512)
     block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
     qt, kt, v3 = _t_layout(q, k, v, block_q, block_k)
     dp = qt.shape[1]
@@ -341,6 +354,9 @@ def _flash_backward_t(q, k, v, o, lse, do, scale, block_q=None, block_k=None):
     """Flash attention backward, transposed layout → (dq, dk, dv)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    if block_q is None:
+        block_q = _FLASH_T_BLOCK_Q or (1024 if (nq >= 2048 or d <= 48)
+                                       else 512)
     block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
     qt, kt, v3 = _t_layout(q, k, v, block_q, block_k)
     vt = v3.swapaxes(1, 2)                             # [BH, d, nk]

@@ -77,13 +77,28 @@ def ref_loss():
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference tree not mounted")
     torch = pytest.importorskip("torch")
-    # loss.py imports torchvision.utils.save_image (unused in the kernels)
+    # loss.py imports torchvision.utils.save_image (unused in the kernels).
+    # Keep the stub as rich as test_torch_oracle's: setdefault means the
+    # first file to run wins for the whole session, and the oracle tests
+    # also need make_grid (+ a real __spec__ for find_spec callers).
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    tv.__path__ = []
     tvu = types.ModuleType("torchvision.utils")
+    tvu.__spec__ = importlib.machinery.ModuleSpec("torchvision.utils", None)
     tvu.save_image = lambda *a, **k: None
+    tvu.make_grid = lambda *a, **k: None
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", None)
+    tvt.ToTensor = tvt.Compose = tvt.Resize = tvt.Normalize = object
     tv.utils = tvu
+    tv.transforms = tvt
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.utils", tvu)
+    sys.modules.setdefault("torchvision.transforms", tvt)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     from ldm.models.diffusion import loss as ref
