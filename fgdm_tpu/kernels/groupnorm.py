@@ -39,6 +39,20 @@ _MAX_ELEMS = 4 * 1024 * 1024
 # Measured on v5e-1 (full chain, batch 4): 1024 ≥ 512 (1.484 vs 1.479
 # img/s, within the ±0.005 run-to-run noise band but never worse).
 _ROW_CHUNK = int(os.environ.get("FGDM_GN_ROW_CHUNK", "1024"))
+# VMEM budget per block in elements: the kernel holds the chunk in bf16
+# plus f32 temporaries (~16B/row-elem with double buffering); 1M elems
+# keeps the widest UNet activation (skip-concat c=1920) under the 16MB
+# scoped-vmem limit at any batch size (observed OOM at 1024×1920).
+_CHUNK_ELEMS = int(os.environ.get("FGDM_GN_CHUNK_ELEMS", str(1 << 20)))
+
+
+def _pick_chunk(spatial: int, c: int) -> int:
+    ck = min(_ROW_CHUNK, spatial)
+    while ck > 128 and ck * c > _CHUNK_ELEMS:
+        ck //= 2
+    while spatial % ck and ck > 8:
+        ck //= 2
+    return ck
 
 
 def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,
@@ -107,7 +121,7 @@ def _fused(x, scale, bias, num_groups, eps, apply_silu):
     b = x.shape[0]
     c = x.shape[-1]
     spatial = int(np.prod(x.shape[1:-1]))
-    ck = min(_ROW_CHUNK, spatial)
+    ck = _pick_chunk(spatial, c)
     n_chunks = spatial // ck
     x3 = x.reshape(b, spatial, c)
     groups = np.repeat(np.arange(num_groups), c // num_groups)
@@ -191,11 +205,11 @@ def group_norm_silu(
     """GroupNorm → affine → (SiLU), fused on TPU when it fits VMEM."""
     c = x.shape[-1]
     if use_fused is None:
+        spatial = int(np.prod(x.shape[1:-1]))
         use_fused = (
             _HAS_PLTPU and (_on_tpu() or _INTERPRET)
             and c % num_groups == 0 and c >= 128
-            and (int(np.prod(x.shape[1:-1])) % _ROW_CHUNK == 0
-                 or int(np.prod(x.shape[1:-1])) <= _ROW_CHUNK)
+            and spatial % _pick_chunk(spatial, c) == 0
         )
     if use_fused:
         return _fused_op(x, scale.astype(jnp.float32),

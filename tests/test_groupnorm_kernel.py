@@ -40,3 +40,28 @@ def test_dispatch_gating():
     x2 = jnp.zeros((1, 4, 4, 48))      # c < 128 → fallback
     out2 = gn.group_norm_silu(x2, jnp.ones(48), jnp.zeros(48), num_groups=16)
     assert out2.shape == x2.shape
+
+
+def test_pick_chunk_respects_vmem_budget():
+    """Wide skip-concat activations (c=1920) must shrink the row chunk:
+    1024x1920 blocks blew the 16MB scoped-vmem limit at batch 16
+    (observed compile OOM on v5e)."""
+    ck = gn._pick_chunk(1024, 1920)
+    assert ck * 1920 <= gn._CHUNK_ELEMS
+    assert 1024 % ck == 0
+    # narrow channels keep the full chunk
+    assert gn._pick_chunk(1024, 320) == min(gn._ROW_CHUNK, 1024)
+    # odd spatial sizes still divide evenly
+    ck2 = gn._pick_chunk(1000, 1920)
+    assert 1000 % ck2 == 0
+
+
+def test_fused_wide_channels_parity(monkeypatch, np_rng):
+    """c=1920 path (chunk-shrunk) matches the XLA reference math."""
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal((1, 8, 32, 1920)), jnp.float32)
+    s = jnp.asarray(np_rng.standard_normal(1920), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal(1920), jnp.float32)
+    ref = gn._xla_group_norm(x, s, b, 32, 1e-5, True)
+    out = gn.group_norm_silu(x, s, b, use_fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

@@ -61,3 +61,32 @@ def test_seed_determinism(engine):
     c = engine.generate(["x"], seed=8)["images"]
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_mesh_sharded_engine_matches_single_chip(engine):
+    """DP serving over the 8-device CPU mesh: batch shards over 'data',
+    params replicate, and the output matches the single-chip engine
+    bit-for-bit (same program, same seeds, no collectives on the fwd)."""
+    from fgdm_tpu.parallel.mesh import create_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(n_data=8, n_model=1)
+    m_engine = ChainEngine(engine.ld, engine.cldm, max_batch=8,
+                           cond_hw=(64, 64), image_hw=(64, 64),
+                           f1_steps=2, f2_steps=2, mesh=mesh)
+    out = m_engine.generate(["a cat"] * 8, seed=3)
+    assert out["images"].shape == (8, 64, 64, 3)
+    assert out["images"].std() > 0
+
+
+def test_mesh_engine_rejects_indivisible_batch(engine):
+    from fgdm_tpu.parallel.mesh import create_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError):
+        ChainEngine(engine.ld, engine.cldm, max_batch=6,
+                    cond_hw=(64, 64), image_hw=(64, 64),
+                    f1_steps=2, f2_steps=2, mesh=mesh, warmup=False)
