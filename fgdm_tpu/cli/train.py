@@ -46,6 +46,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_every", type=int, default=0)
     p.add_argument("--ckpt_every", type=int, default=10_000)
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="batch-assembly threads (torch DataLoader "
+                        "num_workers equivalent)")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -249,17 +252,24 @@ def main(argv=None):
         print("[train] -t not given; config validated, exiting")
         return
 
-    it = batch_iterator(train_ds, batch_size, tokenizer=tokenizer,
-                        seed=opt.seed)
+    # worker-threaded batch assembly + on-device double buffering: the DMA
+    # for batch N+1 streams while the step on batch N computes (the torch
+    # DataLoader(num_workers)+CUDA-stream equivalent, main.py:225-242)
+    from fgdm_tpu.data.prefetch import ParallelBatchLoader, device_prefetch
+
+    loader = ParallelBatchLoader(
+        train_ds, batch_size, tokenizer=tokenizer, seed=opt.seed,
+        num_workers=opt.num_workers, prefetch_batches=2 * opt.num_workers)
+    it = device_prefetch(
+        ({"image": b["image"], "input_ids": b["input_ids"]}
+         for b in loader),
+        mesh=mesh, size=2)
     step = start_step
     t0 = time.time()
     try:
-        for batch in it:
+        for dev_batch in it:
             if opt.max_steps > 0 and step >= opt.max_steps:
                 break
-            host_batch = {"image": batch["image"],
-                          "input_ids": batch["input_ids"]}
-            dev_batch = shard_batch(mesh, host_batch)
             rng, step_rng = jax.random.split(rng)
             use_distill = (distill_fn is not None
                            and step % spec.distill_every_n_step == 0)

@@ -1,0 +1,140 @@
+"""Parallel input pipeline: worker-threaded batch loading + device prefetch.
+
+TPU-native replacement for the reference's multi-worker torch DataLoader
+(`/root/reference/main.py:225-242`, ``num_workers``/``worker_init_fn``):
+
+* ``ParallelBatchLoader`` — assembles batches in a thread pool while the
+  accelerator computes.  Threads (not processes) because the hot per-sample
+  work — the C++ transforms in ``data/native.py`` (ctypes releases the GIL)
+  and numpy resize/crop — runs outside the GIL; there is no pickling tax
+  and workers share the dataset cache.
+* ``device_prefetch`` — keeps ``size`` batches resident on device (sharded
+  over the mesh 'data' axis when given) so the train step never waits on a
+  host→device DMA; the JAX equivalent of Lightning's implicit CUDA-stream
+  overlap.
+
+Determinism: batches are yielded strictly in submission order and the
+shuffle order depends only on ``seed``/epoch, so a run reproduces exactly
+regardless of worker count (matching the reference's
+``worker_init_fn`` seeding contract, `main.py:156-183`).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _assemble(dataset, idxs, tokenizer) -> Dict[str, Any]:
+    items = [dataset[int(i)] for i in idxs]
+    batch: Dict[str, Any] = {
+        "image": np.stack([it["image"] for it in items]).astype(np.float32),
+        "parts": np.stack([it["parts"] for it in items]),
+    }
+    if "rgb" in items[0]:
+        batch["rgb"] = np.stack(
+            [it["rgb"] for it in items]).astype(np.float32)
+    captions = [it["caption"] for it in items]
+    if tokenizer is not None:
+        batch["input_ids"] = np.asarray(tokenizer(captions))
+    batch["captions"] = captions
+    return batch
+
+
+class ParallelBatchLoader:
+    """Iterable over batches, assembled by ``num_workers`` threads with up
+    to ``prefetch_batches`` batches in flight ahead of the consumer."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        tokenizer=None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        epochs: Optional[int] = None,
+        num_workers: int = 8,
+        prefetch_batches: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epochs = epochs
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+
+    def _index_batches(self):
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        n = len(self.dataset)
+        while self.epochs is None or epoch < self.epochs:
+            order = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(order)
+            for start in range(0, n, self.batch_size):
+                idxs = order[start:start + self.batch_size]
+                if len(idxs) < self.batch_size and self.drop_last:
+                    break
+                yield idxs
+            epoch += 1
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        pending: collections.deque = collections.deque()
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            it = self._index_batches()
+            try:
+                for idxs in it:
+                    pending.append(
+                        pool.submit(_assemble, self.dataset, idxs,
+                                    self.tokenizer))
+                    if len(pending) >= self.prefetch_batches:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
+
+
+def device_prefetch(iterator, mesh=None, size: int = 2,
+                    keys=("image", "input_ids", "rgb", "latent", "parts")):
+    """Keep ``size`` batches on device ahead of the consumer.
+
+    Array leaves under ``keys`` are ``device_put`` (sharded over the mesh
+    'data' axis when ``mesh`` is given); other entries (captions) pass
+    through on host.  The device transfer for batch N+size overlaps the
+    compute on batch N — jax dispatch is async, so ``device_put`` returns
+    immediately and the DMA streams in the background.
+    """
+    sharding = None
+    if mesh is not None:
+        from fgdm_tpu.parallel.mesh import data_sharding
+
+        sharding = data_sharding(mesh)
+
+    def put(batch):
+        out = dict(batch)
+        for k in keys:
+            if k in out and hasattr(out[k], "shape"):
+                out[k] = (jax.device_put(out[k], sharding)
+                          if sharding is not None
+                          else jax.device_put(out[k]))
+        return out
+
+    buf: collections.deque = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
