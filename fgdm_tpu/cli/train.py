@@ -102,12 +102,19 @@ def main(argv=None):
                                  load_config, merge_configs)
     from fgdm_tpu.data.dataset import batch_iterator
     from fgdm_tpu.models.clip import CLIPTokenizer
-    from fgdm_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from fgdm_tpu.parallel.mesh import (create_mesh,
+                                        maybe_initialize_distributed,
+                                        replicate, shard_batch)
     from fgdm_tpu.train.condition import build_condition_synth
     from fgdm_tpu.train.lr_schedules import scaled_lr
     from fgdm_tpu.train.state import (TrainState, adapter_filter, make_adamw,
                                       state_from_pytree, state_to_pytree)
     from fgdm_tpu.train.train_step import make_eval_step, make_train_step
+
+    # multi-host bring-up must precede the first backend touch
+    if maybe_initialize_distributed():
+        print(f"[train] jax.distributed up: process "
+              f"{jax.process_index()}/{jax.process_count()}")
 
     # -- config assembly (main.py:492-557) ---------------------------------
     if opt.resume:

@@ -22,6 +22,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call before the first backend touch.
+
+    Initializes ``jax.distributed`` when a cluster is declared through the
+    standard env (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``]) or when running under a TPU pod runtime that
+    auto-detects (``FGDM_DISTRIBUTED=1`` forces the call).  A no-op
+    otherwise, so single-host runs never risk a coordinator hang.  Returns
+    True when initialization ran.  After this, ``create_mesh`` spans all
+    global devices and DCN carries the inter-slice mesh edges.
+    """
+    import os
+
+    want = (os.environ.get("FGDM_DISTRIBUTED", "0") == "1"
+            or "JAX_COORDINATOR_ADDRESS" in os.environ)
+    if not want:
+        return False
+    kw = {}
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        kw["coordinator_address"] = os.environ["JAX_COORDINATOR_ADDRESS"]
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "JAX_PROCESS_ID" in os.environ:
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def create_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -68,3 +68,22 @@ def test_tp_dp_train_step_matches_replicated():
         losses[name] = float(metrics["loss"])
 
     np.testing.assert_allclose(losses["dp"], losses["tp"], rtol=1e-4)
+
+
+def test_maybe_initialize_distributed(monkeypatch):
+    """No-op without cluster env; forwards coordinator env when declared."""
+    import fgdm_tpu.parallel.mesh as pm
+
+    monkeypatch.delenv("FGDM_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert pm.maybe_initialize_distributed() is False
+
+    calls = {}
+    monkeypatch.setattr(pm.jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert pm.maybe_initialize_distributed() is True
+    assert calls == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 4, "process_id": 2}
