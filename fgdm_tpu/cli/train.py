@@ -310,6 +310,21 @@ def main(argv=None):
     melk()
     print(f"[train] done at step {step}")
 
+    # -- post-fit test pass (trainer.test unless --no-test, main.py:762-763)
+    if not opt.no_test and eval_fn is not None and val_ds is not None:
+        agg: dict = {}
+        nb = 0
+        for vb in batch_iterator(val_ds, batch_size, tokenizer=tokenizer,
+                                 shuffle=False, epochs=1):
+            vm = eval_fn(state, shard_batch(mesh, {
+                "image": vb["image"], "input_ids": vb["input_ids"]}),
+                jax.random.PRNGKey(0))
+            for k, v in vm.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            nb += 1
+        if nb:
+            print("[test]", {k: round(v / nb, 4) for k, v in agg.items()})
+
 
 if __name__ == "__main__":
     main()

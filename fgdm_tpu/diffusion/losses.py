@@ -96,9 +96,25 @@ def diffusion_loss(
     loss_dict: Dict[str, jnp.ndarray] = {}
 
     if distill:
-        model_output, selfattn, crossattn = ld.apply_model(
-            x_noisy, t, cond, capture=True
+        # Capture attention maps only for the truncated distill batch
+        # (trucbs, ddpm.py:1188): the batch is split into a capture forward
+        # on the first tb rows and a plain forward on the rest, then
+        # re-concatenated — identical outputs/gradients to capturing the
+        # full batch and truncating after, but the VJP holds [tb,N,N] maps
+        # instead of [B,N,N] (full-size distill OOMed HBM at batch 8).
+        tb_cap = trunc_bs or min(max(2, b // 10), 8)
+        tb_cap = min(tb_cap, b)
+        cond_tb_ = jax.tree.map(lambda c: c[:tb_cap], cond)
+        out_tb, selfattn, crossattn = ld.apply_model(
+            x_noisy[:tb_cap], t[:tb_cap], cond_tb_, capture=True
         )
+        if tb_cap < b:
+            cond_rest = jax.tree.map(lambda c: c[tb_cap:], cond)
+            out_rest = ld.apply_model(
+                x_noisy[tb_cap:], t[tb_cap:], cond_rest)
+            model_output = jnp.concatenate([out_tb, out_rest], axis=0)
+        else:
+            model_output = out_tb
     else:
         model_output = ld.apply_model(x_noisy, t, cond)
 
@@ -113,12 +129,11 @@ def diffusion_loss(
     loss = loss + original_elbo_weight * loss_vlb
 
     if distill:
-        # reference trucbs = min(max(2, B//10), 8)  (ddpm.py:1188)
-        tb = trunc_bs or min(max(2, b // 10), 8)
-        tb = min(tb, b)
+        # reference trucbs = min(max(2, B//10), 8)  (ddpm.py:1188);
+        # the capture forward above already ran on exactly these rows
+        tb = tb_cap
         resn = x_start.shape[1]
         s_self, s_cross = get_token_maps(selfattn, crossattn, resn=resn)
-        s_self, s_cross = s_self[:tb], s_cross[:tb]
 
         cond_tb = jax.tree.map(lambda c: c[:tb], cond)
         t_self, t_cross = teacher_attention_maps(

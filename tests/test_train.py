@@ -151,3 +151,40 @@ def test_lambda_linear_schedule():
     assert float(f(50)) == pytest.approx(0.5)
     assert float(f(100)) == pytest.approx(1.0)
     assert float(f(100000)) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_distill_capture_split_equivalence(tiny_ld):
+    """The split capture (capture fwd on tb rows + plain fwd on the rest)
+    must give the same loss as one full-batch capture truncated after —
+    the trailing rows may not influence loss_distill, and loss_simple must
+    cover the whole batch."""
+    from fgdm_tpu.diffusion.losses import diffusion_loss
+
+    # randomize params: the fixture's zero-init head conv makes the model
+    # output identically 0, which would hide batch-dependence
+    leaves = jax.tree_util.tree_leaves_with_path(tiny_ld.unet_params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    noisy = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + 0.02 * jax.random.normal(
+            keys[hash(str(p)) % len(keys)], x.shape, x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tiny_ld.unet_params)
+    ld = tiny_ld.replace(unet_params=noisy)
+
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(7), (4, 77, 64), jnp.float32)
+    cond = {"c_crossattn": ctx}
+    loss_a, md_a = diffusion_loss(ld, rng, x, cond, distill=True,
+                                  trunc_bs=2)
+    # perturb only the trailing rows: the distill term must be unchanged
+    x2 = x.at[2:].add(0.37)
+    loss_b, md_b = diffusion_loss(ld, rng, x2, cond, distill=True,
+                                  trunc_bs=2)
+    np.testing.assert_allclose(float(md_a["loss_distill"]),
+                               float(md_b["loss_distill"]), rtol=1e-6)
+    assert abs(float(md_a["loss_simple"]) - float(md_b["loss_simple"])) > 1e-6
+    # trunc_bs = b degenerates to one capture forward over the full batch
+    loss_c, md_c = diffusion_loss(ld, rng, x, cond, distill=True,
+                                  trunc_bs=4)
+    assert np.isfinite(float(md_c["loss_distill"]))

@@ -78,6 +78,13 @@ def main():
     sys.stderr.write(f"[bench_train] compile+first: "
                      f"{time.perf_counter()-t0:.1f}s "
                      f"loss={float(metrics['loss']):.4f}\n")
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        sys.stderr.write(
+            f"[bench_train] hbm peak {ms.get('peak_bytes_in_use', 0)/2**30:.2f}"
+            f" GiB / {ms.get('bytes_limit', 0)/2**30:.2f} GiB\n")
+    except Exception:
+        pass
 
     iters = 10
     t0 = time.perf_counter()
