@@ -47,7 +47,19 @@ def teacher_attention_maps(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frozen-SD teacher maps: forward on the 2×-upsampled noisy latent with
     the adapter disabled, maps aggregated at 2·resn then pooled back to resn
-    (reference ``get_attnmaps``, ddpm.py:1799-1818)."""
+    (reference ``get_attnmaps``, ddpm.py:1799-1818).
+
+    Gradients are stopped at the teacher's *inputs* (params included), not
+    just its outputs: with only an output-side stop_gradient the VJP tracer
+    still records residuals for the whole teacher subgraph (it shares param
+    tensors with the student), and those ~8 GB of saved activations/maps
+    survived to the compiled program — the distill step OOMed v5e HBM at
+    batch 8 until this (measured: temp 9.1 → 1.1 GiB without the teacher).
+    """
+    sg = jax.lax.stop_gradient
+    ld = jax.tree.map(sg, ld)
+    x_start, noise, t = sg(x_start), sg(noise), sg(t)
+    cond = jax.tree.map(sg, cond)
     resn = x_start.shape[1]
     x2 = ld.schedule.q_sample(
         nearest_upsample_2x_latent(x_start),
@@ -57,10 +69,36 @@ def teacher_attention_maps(
     _, t_self_raw, t_cross_raw = ld.apply_model(
         x2, t, cond, adapter_on=False, capture=True
     )
-    t_self, t_cross = get_token_maps(t_self_raw, t_cross_raw, resn=2 * resn)
-    t_self = avg_pool_map_2x(t_self, times=2)   # [B, resn², resn²]
-    t_cross = _pool_cross_2x(t_cross)           # [B, resn, resn, 77]
-    return jax.lax.stop_gradient(t_self), jax.lax.stop_gradient(t_cross)
+    # Pool each map the moment it exists, THEN average across layers —
+    # exactly equal to get_token_maps+pool-after (both are linear), but the
+    # layer-mean fusion otherwise keeps every raw [B, (2r)², (2r)²] teacher
+    # map live at once (5×128MB at 256² training; the pooled form is 16×
+    # smaller and each raw map can be freed right after its pool).
+    from fgdm_tpu.utils.attention_maps import _resize_query_grid
+
+    r2 = 2 * resn
+    self_sum = None
+    n_self = 0
+    for m in t_self_raw.values():
+        if int(round(m.shape[1] ** 0.5)) != r2:
+            continue
+        m = avg_pool_map_2x(m, times=2)         # [B, resn², resn²]
+        self_sum = m if self_sum is None else self_sum + m
+        n_self += 1
+    if self_sum is None:
+        raise ValueError(f"no teacher self-attention maps at {r2}")
+    t_self = self_sum / n_self
+
+    cross_sum = None
+    n_cross = 0
+    for m in t_cross_raw.values():
+        r = int(round(m.shape[1] ** 0.5))
+        m = _resize_query_grid(m, r, r2).reshape(m.shape[0], r2, r2, -1)
+        m = _pool_cross_2x(m)                   # [B, resn, resn, 77]
+        cross_sum = m if cross_sum is None else cross_sum + m
+        n_cross += 1
+    t_cross = cross_sum / n_cross
+    return t_self, t_cross
 
 
 def diffusion_loss(

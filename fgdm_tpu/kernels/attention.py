@@ -86,9 +86,13 @@ def attention_with_scores(q, k, v, scale):
     """
     h = q.shape[1]
     out = multihead_attention(q, k, v, scale)
+    # fold the scale into q before the contraction: a post-einsum multiply
+    # materializes a second full [B,Nq,Nk] buffer (128MB per captured layer
+    # at N=4096) — scaling the tiny q tensor is free
+    qs = q.astype(jnp.float32) * (float(scale) / h)
     scores = jnp.einsum(
-        "bhid,bhjd->bij", q, k, preferred_element_type=jnp.float32
-    ) * (float(scale) / h)
+        "bhid,bhjd->bij", qs, k, preferred_element_type=jnp.float32
+    )
     return out, scores
 
 

@@ -140,7 +140,14 @@ class UNetModel(nn.Module):
 
         def attn(name, ch, prefix):
             n_heads, d_head = self._heads_for(ch)
-            st = SpatialTransformer(
+            # remat the transformers too (not just ResBlocks) on the plain
+            # path: capture-mode maps must escape the block, so those
+            # instances stay un-rematted (and the teacher capture runs
+            # under stop_gradient anyway)
+            st_cls = (nn.remat(SpatialTransformer)
+                      if self.remat and not capture and attn_editor is None
+                      else SpatialTransformer)
+            st = st_cls(
                 in_channels=ch, n_heads=n_heads, d_head=d_head,
                 depth=self.transformer_depth, context_dim=self.context_dim,
                 dtype=self.dtype, name=name,
@@ -152,8 +159,13 @@ class UNetModel(nn.Module):
             )
 
             def apply(hh):
-                out, probs = st(hh, context=context, capture=capture,
-                                attn_editor=editor)
+                if self.remat and not capture and attn_editor is None:
+                    # static defaults (capture=False, no editor): array-only
+                    # args so nn.remat never traces a python bool/callable
+                    out, probs = st(hh, context=context)
+                else:
+                    out, probs = st(hh, context=context, capture=capture,
+                                    attn_editor=editor)
                 if capture and probs is not None:
                     sp, cp = probs
                     if sp is not None:

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 def _resize_query_grid(m: jnp.ndarray, r: int, resn: int) -> jnp.ndarray:
     """[B, r², K] → bicubic resize of the query grid → [B, resn², K]."""
+    if r == resn:
+        # identity resize still materializes two full-size cubic-gather
+        # intermediates (2×128MB per teacher map at r=64) — skip it
+        return m
     b, _, k = m.shape
     m = m.reshape(b, r, r, k)
     m = jax.image.resize(m, (b, resn, resn, k), method="cubic")
@@ -39,34 +43,46 @@ def get_token_maps(
 
     Returns ``(self_maps [B, resn², resn²], cross_maps [B, resn, resn, 77])``.
     """
-    self_acc = []
+    # incremental sum (not jnp.stack+mean): a stack of k teacher maps is a
+    # k×128MB copy that must be wholly live; the running sum lets XLA free
+    # each map right after its add
+    self_sum = None
+    n_self = 0
     for m in selfattn.values():
         r = int(round(m.shape[1] ** 0.5))
         if r != resn:
             continue
-        self_acc.append(_resize_query_grid(m, r, resn))
-    if not self_acc:
+        m = _resize_query_grid(m, r, resn)
+        self_sum = m if self_sum is None else self_sum + m
+        n_self += 1
+    if self_sum is None:
         raise ValueError(f"no self-attention maps at resolution {resn}")
-    self_maps = jnp.mean(jnp.stack(self_acc), axis=0)
+    self_maps = self_sum / n_self
 
-    cross_acc = []
+    cross_sum = None
+    n_cross = 0
     for m in crossattn.values():
         r = int(round(m.shape[1] ** 0.5))
-        cross_acc.append(
-            _resize_query_grid(m, r, resn).reshape(m.shape[0], resn, resn, -1)
-        )
-    cross_maps = jnp.mean(jnp.stack(cross_acc), axis=0)
+        m = _resize_query_grid(m, r, resn).reshape(m.shape[0], resn, resn, -1)
+        cross_sum = m if cross_sum is None else cross_sum + m
+        n_cross += 1
+    cross_maps = cross_sum / n_cross
     return self_maps, cross_maps
 
 
 def avg_pool_map_2x(m: jnp.ndarray, times: int = 1) -> jnp.ndarray:
-    """2× average-pool over the last two axes of [B, N, M] maps — the
+    """2^times× average-pool over the last two axes of [B, N, M] maps — the
     reference's ``downsample1`` trick for shrinking teacher self-maps
-    (ddpm.py:130,1813)."""
-    for _ in range(times):
-        b, n, k = m.shape
-        m = m.reshape(b, n // 2, 2, k // 2, 2).mean(axis=(2, 4))
-    return m
+    (ddpm.py:130,1813).
+
+    One ``reduce_window`` call, not reshape+mean: the reshape to
+    [B, N/2, 2, M/2, 2] is not bitcastable under the TPU tiled layout, so
+    it materialized a full copy of each 128MB raw teacher map."""
+    w = 2 ** times
+    s = jax.lax.reduce_window(
+        m.astype(jnp.float32), 0.0, jax.lax.add,
+        (1, w, w), (1, w, w), "VALID")
+    return (s / (w * w)).astype(m.dtype)
 
 
 def kl_distill_loss(

@@ -38,7 +38,12 @@ def main():
     from fgdm_tpu.train.train_step import make_train_step
 
     dtype = jnp.bfloat16
-    unet = UNetModel(dtype=dtype, fused_norm_silu=True)
+    # reference training configs set use_checkpoint: True (→ remat); the
+    # distill step needs it (teacher maps + full-batch VJP exceed HBM
+    # without), the plain adapter step fits without and runs faster
+    remat = os.environ.get("FGDM_BENCH_REMAT",
+                           "1" if DISTILL else "0") == "1"
+    unet = UNetModel(dtype=dtype, fused_norm_silu=True, remat=remat)
     vae = AutoencoderKL(dtype=dtype, fused_norm=True)
     clip = CLIPTextEncoder(dtype=dtype)
     sched = DiffusionSchedule.create(
