@@ -174,9 +174,13 @@ def _stub_uniformer_deps(torch):
     mkmod("yapf.yapflib.yapf_api", FormatCode=lambda s, **k: (s, True))
     tv = mkmod("torchvision")
     tv.__version__ = "0.15.0"
-    mkmod("torchvision.transforms", functional=None)
+    mkmod("torchvision.transforms", functional=None, ToTensor=object,
+          Compose=object, Resize=object, Normalize=object)
     mkmod("torchvision.models")
-    mkmod("torchvision.utils", save_image=lambda *a, **k: None)
+    # first stub to land wins for the whole pytest session — keep it rich
+    # enough for the other oracle files (cldm imports make_grid)
+    mkmod("torchvision.utils", save_image=lambda *a, **k: None,
+          make_grid=lambda *a, **k: None)
 
     class PT:
         def __init__(self, *a, **k):
