@@ -44,6 +44,11 @@ _ROW_CHUNK = int(os.environ.get("FGDM_GN_ROW_CHUNK", "1024"))
 # keeps the widest UNet activation (skip-concat c=1920) under the 16MB
 # scoped-vmem limit at any batch size (observed OOM at 1024×1920).
 _CHUNK_ELEMS = int(os.environ.get("FGDM_GN_CHUNK_ELEMS", str(1 << 20)))
+# Feed NHWC blocks to the kernel without the XLA-side flatten (chunked over
+# H).  Measured on v5e: the flatten's layout copies looked costly in the
+# HLO, but the native-4D path benched *slower* end-to-end (train step 125
+# -> 118 img/s; chain flat) — default off, kept as an A/B knob.
+_NATIVE_4D = os.environ.get("FGDM_GN_NATIVE_4D", "0") == "1"
 
 
 def _pick_chunk(spatial: int, c: int) -> int:
@@ -61,7 +66,13 @@ def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,
     VMEM scratch that persists across the (sequential) TPU grid; phase 1
     normalizes each chunk.  Only chunk-sized blocks ever sit in VMEM, so
     arbitrarily large N·C works (a whole-array block OOMs scoped vmem at
-    UNet skip-concat widths like 4096x960)."""
+    UNet skip-concat widths like 4096x960).
+
+    Blocks arrive in the input's NATIVE rank ([1, ck, C] or [1, ckh, W, C])
+    and are flattened to [rows, C] *inside* the kernel — a free VMEM view.
+    Reshaping [B,H,W,C]→[B,H·W,C] on the XLA side forced a physical copy of
+    every activation into the custom call's operand layout (measured: two
+    extra 128MB copies per VAE-encoder norm at 256²/batch 8)."""
     phase = pl.program_id(1)
     i = pl.program_id(2)
 
@@ -71,7 +82,8 @@ def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,
 
     @pl.when(phase == 0)
     def _():
-        chunk = x_ref[0].astype(jnp.float32)          # [ck, C]
+        blk = x_ref[0]
+        chunk = blk.reshape(-1, blk.shape[-1]).astype(jnp.float32)  # [ck, C]
         ones = jnp.ones((1, chunk.shape[0]), jnp.float32)
         # HIGHEST precision: TPU matmuls default to bf16 passes, which is
         # not enough for mean/variance accumulation
@@ -109,10 +121,26 @@ def _kernel(x_ref, scale_ref, bias_ref, m_ref, o_ref, stats_ref, *, eps,
             preferred_element_type=jnp.float32)
         mul = inv_c * scale_ref[...].astype(jnp.float32)
         add = bias_ref[...].astype(jnp.float32) - mean_c * mul
-        y = x_ref[0].astype(jnp.float32) * mul + add
+        blk = x_ref[0]
+        x2 = blk.reshape(-1, blk.shape[-1]).astype(jnp.float32)
+        y = x2 * mul + add
         if apply_silu:
             y = y * jax.nn.sigmoid(y)
-        o_ref[0] = y.astype(o_ref.dtype)
+        o_ref[0] = y.reshape(blk.shape).astype(o_ref.dtype)
+
+
+def _chunking(x):
+    """(chunk-rows-of-leading-spatial-dim, n_chunks, block_shape fn)."""
+    c = x.shape[-1]
+    spatial = int(np.prod(x.shape[1:-1]))
+    if x.ndim == 4 and _NATIVE_4D:
+        _, h, w, _ = x.shape
+        ckh = max(1, _pick_chunk(spatial, c) // w)
+        while h % ckh:
+            ckh -= 1
+        return ckh, h // ckh
+    ck = _pick_chunk(spatial, c)
+    return ck, spatial // ck
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps",
@@ -121,28 +149,34 @@ def _fused(x, scale, bias, num_groups, eps, apply_silu):
     b = x.shape[0]
     c = x.shape[-1]
     spatial = int(np.prod(x.shape[1:-1]))
-    ck = _pick_chunk(spatial, c)
-    n_chunks = spatial // ck
-    x3 = x.reshape(b, spatial, c)
+    ck, n_chunks = _chunking(x)
     groups = np.repeat(np.arange(num_groups), c // num_groups)
     m = jnp.asarray(np.eye(num_groups, dtype=np.float32)[groups])  # [C, G]
     count = float(spatial * (c // num_groups))
+    orig_shape = x.shape
+    if x.ndim == 4 and _NATIVE_4D:
+        # native NHWC blocks (chunked over H): no XLA-side flatten copy
+        w = x.shape[2]
+        in_spec = pl.BlockSpec((1, ck, w, c), lambda bb, p, i: (bb, i, 0, 0))
+    else:
+        x = x.reshape(b, spatial, c)
+        in_spec = pl.BlockSpec((1, ck, c), lambda bb, p, i: (bb, i, 0))
     out = pl.pallas_call(
         functools.partial(_kernel, eps=float(eps), count=count,
                           apply_silu=apply_silu),
-        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, 2, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, ck, c), lambda bb, p, i: (bb, i, 0)),
+            in_spec,
             pl.BlockSpec((1, c), lambda bb, p, i: (0, 0)),
             pl.BlockSpec((1, c), lambda bb, p, i: (0, 0)),
             pl.BlockSpec((c, num_groups), lambda bb, p, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ck, c), lambda bb, p, i: (bb, i, 0)),
+        out_specs=in_spec,
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         interpret=_INTERPRET,
-    )(x3, scale.reshape(1, c), bias.reshape(1, c), m)
-    return out.reshape(x.shape)
+    )(x, scale.reshape(1, c), bias.reshape(1, c), m)
+    return out.reshape(orig_shape)
 
 
 def _xla_group_norm(x, scale, bias, num_groups, eps, apply_silu):
@@ -206,10 +240,14 @@ def group_norm_silu(
     c = x.shape[-1]
     if use_fused is None:
         spatial = int(np.prod(x.shape[1:-1]))
+        # 4D chunks over H (always divisible by construction); other ranks
+        # flatten and need the row chunk to divide the spatial size
+        ok_chunks = ((x.ndim == 4 and _NATIVE_4D)
+                     or spatial % _pick_chunk(spatial, c) == 0)
         use_fused = (
             _HAS_PLTPU and (_on_tpu() or _INTERPRET)
             and c % num_groups == 0 and c >= 128
-            and spatial % _pick_chunk(spatial, c) == 0
+            and ok_chunks
         )
     if use_fused:
         return _fused_op(x, scale.astype(jnp.float32),

@@ -65,3 +65,25 @@ def test_fused_wide_channels_parity(monkeypatch, np_rng):
     ref = gn._xla_group_norm(x, s, b, 32, 1e-5, True)
     out = gn.group_norm_silu(x, s, b, use_fused=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_4d_odd_height(monkeypatch, np_rng):
+    """4D path chunks over H and must handle non-power-of-2 heights."""
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal((2, 12, 8, 128)), jnp.float32)
+    s = jnp.asarray(np_rng.standard_normal(128), jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal(128), jnp.float32)
+    ref = gn._xla_group_norm(x, s, b, 32, 1e-5, True)
+    out = gn.group_norm_silu(x, s, b, use_fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_3d_input(monkeypatch, np_rng):
+    """[B, N, C] transformer-style inputs still work via the flatten path."""
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal((2, 256, 256)), jnp.float32)
+    s = jnp.ones(256)
+    b = jnp.zeros(256)
+    ref = gn._xla_group_norm(x, s, b, 32, 1e-5, False)
+    out = gn.group_norm_silu(x, s, b, apply_silu=False, use_fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
