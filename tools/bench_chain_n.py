@@ -1,0 +1,157 @@
+"""Benchmarks for the remaining BASELINE configs on one TPU chip.
+
+* ``n_factor`` (default): config #3 — text→seg→depth→normal→image in one
+  traced program (three full-size FG-DM factor UNets + ControlNet render),
+  256² conditions → 512² image, 50-step factors + 20-step render.
+  Params are bf16 (four SD-sized UNets; f32 would not fit 16GB HBM).
+* ``guided`` (FGDM_BENCH_MODE=guided): config #4 — factor-1 sampling with
+  the inference-time attention-alignment guidance on vs off (the capture
+  forward + jax.grad inner loop inside the DDIM scan).
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "2"))
+MODE = os.environ.get("FGDM_BENCH_MODE", "n_factor")
+STEPS = int(os.environ.get("FGDM_BENCH_F1_STEPS", "50"))
+
+
+def bf16_tree(shapes):
+    return jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape,
+            jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+            else s.dtype),
+        shapes)
+
+
+def build(n_factors=3):
+    from fgdm_tpu.core.schedules import DiffusionSchedule
+    from fgdm_tpu.diffusion.control import ControlLDM
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.controlnet import ControlNet
+    from fgdm_tpu.models.unet import UNetModel
+
+    dtype = jnp.bfloat16
+    unet = UNetModel(dtype=dtype, fused_norm_silu=True)
+    cn_unet = UNetModel(dtype=dtype, use_adapter=False, fused_norm_silu=True)
+    cn = ControlNet(dtype=dtype, fused_norm_silu=True)
+    vae = AutoencoderKL(dtype=dtype, fused_norm=True)
+    clip = CLIPTextEncoder(dtype=dtype)
+    sched = DiffusionSchedule.create(
+        1000, "linear", linear_start=0.00085, linear_end=0.0120)
+    rng = jax.random.PRNGKey(0)
+
+    def absinit(mod, *a, **k):
+        return bf16_tree(jax.eval_shape(lambda: mod.init(rng, *a, **k)))
+
+    x1 = jnp.zeros((1, 32, 32, 4))
+    x2 = jnp.zeros((1, 64, 64, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 768))
+    hint = jnp.zeros((1, 512, 512, 3))
+    img = jnp.zeros((1, 256, 256, 3))
+    vae_params = absinit(vae, img, sample_posterior=False)
+    clip_params = absinit(clip, jnp.zeros((1, 77), jnp.int32))
+    unet_params = absinit(unet, x1, t, ctx)
+
+    factors = [
+        LatentDiffusion(unet_def=unet, vae_def=vae, clip_def=clip,
+                        unet_params=unet_params, vae_params=vae_params,
+                        clip_params=clip_params, schedule=sched)
+        for _ in range(n_factors)
+    ]
+    cldm = ControlLDM(
+        unet_def=cn_unet, vae_def=vae, clip_def=clip,
+        unet_params=absinit(cn_unet, x2, t, ctx),
+        vae_params=vae_params, clip_params=clip_params, schedule=sched,
+        control_def=cn, control_params=absinit(cn, x2, hint, t, ctx))
+    return factors, cldm
+
+
+def bench_n_factor():
+    from fgdm_tpu.sampling.chain import fgdm_chain_n
+
+    factors, cldm = build(3)
+    ctx = jnp.zeros((BATCH, 77, 768), jnp.float32)
+
+    @jax.jit
+    def run(factors, cldm, rng):
+        out = fgdm_chain_n(
+            factors, cldm, rng, [ctx] * 3, ctx,
+            cn_prompt_ctx=ctx, cn_neg_ctx=ctx,
+            cond_hw=(256, 256), image_hw=(512, 512),
+            factor_steps=STEPS, f2_steps=20)
+        return out["image"]
+
+    t0 = time.perf_counter()
+    out = run(factors, cldm, jax.random.PRNGKey(0))
+    out.block_until_ready()
+    sys.stderr.write(f"[bench] compile+first: {time.perf_counter()-t0:.1f}s\n")
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(1, 1 + iters):
+        out = run(factors, cldm, jax.random.PRNGKey(i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    print(f'{{"metric": "fgdm_chain3_images_per_sec_per_chip_512px", '
+          f'"value": {BATCH/dt:.4f}, "unit": "images/sec/chip", '
+          f'"factors": 3, "batch": {BATCH}}}')
+
+
+def bench_guided():
+    from fgdm_tpu.core.schedules import DDIMSchedule
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    factors, _ = build(1)
+    ld = factors[0]
+    ctx = jnp.zeros((BATCH, 77, 768), jnp.float32)
+    shape = (BATCH, 32, 32, 4)
+    sched = DDIMSchedule.create(ld.schedule, STEPS)
+    cond = {"c_crossattn": ctx}
+    uncond = {"c_crossattn": ctx}
+
+    for guided in (False, True):
+        @jax.jit
+        def run(ld, rng):
+            gfn = ld.capture_fn() if guided else None
+            z, _ = ddim_sample(ld.denoise_fn(), rng, shape, sched, cond,
+                               uncond, cfg_scale=7.5, guidance_fn=gfn)
+            return ld.decode_first_stage(z)
+
+        t0 = time.perf_counter()
+        out = run(ld, jax.random.PRNGKey(0))
+        out.block_until_ready()
+        sys.stderr.write(f"[bench] guided={guided} compile+first: "
+                         f"{time.perf_counter()-t0:.1f}s\n")
+        iters = 3
+        t0 = time.perf_counter()
+        for i in range(1, 1 + iters):
+            out = run(ld, jax.random.PRNGKey(i))
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        print(f'{{"metric": "fgdm_f1_guided_{guided}_images_per_sec", '
+              f'"value": {BATCH/dt:.4f}, "unit": "images/sec/chip", '
+              f'"steps": {STEPS}, "batch": {BATCH}}}', flush=True)
+
+
+if __name__ == "__main__":
+    if MODE == "guided":
+        bench_guided()
+    else:
+        bench_n_factor()
