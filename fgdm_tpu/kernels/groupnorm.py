@@ -8,8 +8,10 @@ through ``M @ stats``.  One elementwise pass then normalizes, applies the
 affine, and fuses the SiLU — a single HBM round trip for the whole
 norm+activation (the unfused path reads/writes the activation twice).
 
-Scoped to UNet-sized activations (N·C ≤ 4M elements fit VMEM); larger
-inputs (512² VAE decode) take the XLA fallback.  Used behind
+The two-phase chunked grid scales to any activation size (512² VAE decode
+included): phase 0 streams chunk-sized blocks accumulating channel sums in
+a VMEM scratch, phase 1 streams them again to normalize — so only a chunk
+(budgeted by ``_CHUNK_ELEMS``) sits in VMEM at a time.  Used behind
 ``fgdm_tpu.nn.layers.GroupNorm32(fused=True)``.
 """
 
@@ -33,7 +35,6 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 _INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
-_MAX_ELEMS = 4 * 1024 * 1024
 
 
 # Measured on v5e-1 (full chain, batch 4): 1024 ≥ 512 (1.484 vs 1.479
