@@ -42,6 +42,9 @@ def build_unet(dtype=jnp.bfloat16, **p) -> UNetModel:
         adapter_channels=p.get("adapter_channels"),
         use_time_adapter=p.get("use_time_adapter", False),
         remat=p.get("use_checkpoint", False),
+        # fused Pallas GroupNorm+SiLU: the benched production configuration
+        # (+3.8% on the f2 stage); dispatch falls back to XLA off-TPU
+        fused_norm_silu=p.get("fused_norm_silu", True),
         dtype=dtype,
     )
 
@@ -61,6 +64,7 @@ def build_autoencoder(dtype=jnp.bfloat16, nple: Optional[int] = None, **p
         resolution=dd.get("resolution", 256),
         z_channels=dd.get("z_channels", 4),
         double_z=dd.get("double_z", True),
+        fused_norm=p.get("fused_norm", True),
         dtype=dtype,
     )
     if nple:

@@ -23,6 +23,12 @@ def lambda_linear(
     f_min: float = 1.0,
     cycle_length: float = 1e13,
 ):
+    # reference configs write cycle_lengths: [10000000000000] — a Python int
+    # that overflows int32 when traced as a jit operand; close over floats
+    warm_up_steps = float(warm_up_steps)
+    f_start, f_max, f_min = float(f_start), float(f_max), float(f_min)
+    cycle_length = float(cycle_length)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = f_start + (f_max - f_start) / warm_up_steps * step
@@ -39,6 +45,10 @@ def lambda_warmup_cosine(
     f_min: float,
     cycle_length: float,
 ):
+    warm_up_steps = float(warm_up_steps)
+    f_start, f_max, f_min = float(f_start), float(f_max), float(f_min)
+    cycle_length = float(cycle_length)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = f_start + (f_max - f_start) / warm_up_steps * step

@@ -96,7 +96,7 @@ def make_train_step(
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         # infer_state_sharding: honor the state's existing placements (e.g.
@@ -110,6 +110,9 @@ def make_train_step(
             donate_argnums=(0,),
         )
     else:
+        # single-device mesh: plain jit — SPMD sharding annotations on a
+        # full-size train step inflate the serialized program past what the
+        # axon remote-compile service accepts (HTTP 413), and buy nothing
         train_step = jax.jit(train_step, donate_argnums=(0,))
     return train_step
 
