@@ -66,10 +66,10 @@ def make_control_train_step(
     (cldm.py:853-866: jpg target, hint in [0,1], txt caption).
     """
 
-    def loss_fn(trainable, frozen, batch, rng):
+    def loss_fn(trainable, frozen, cldm_in, batch, rng):
         tree = merge_params(trainable, frozen)
-        cldm_t = cldm.replace(control_params=tree["control"],
-                              unet_params=tree["unet"])
+        cldm_t = cldm_in.replace(control_params=tree["control"],
+                                 unet_params=tree["unet"])
         rng_enc, rng_loss = jax.random.split(rng)
         if "latent" in batch:
             x_start = batch["latent"]
@@ -85,18 +85,27 @@ def make_control_train_step(
         )
         return loss, loss_dict
 
-    def train_step(state: TrainState, batch, rng):
+    # cldm as a jit argument, not a closure: its frozen VAE/CLIP param
+    # trees would embed as HLO constants (see make_train_step)
+    def train_step_impl(cldm_in, state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, loss_dict), grads = grad_fn(state.params, state.frozen,
-                                           batch, rng)
+                                           cldm_in, batch, rng)
         new_state = state.apply_gradients(grads)
         metrics = dict(loss_dict)
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(train_step, in_shardings=(repl, data, repl),
-                       out_shardings=(repl, repl), donate_argnums=(0,))
-    return jax.jit(train_step, donate_argnums=(0,))
+        jitted = jax.jit(train_step_impl,
+                         in_shardings=(repl, repl, data, repl),
+                         out_shardings=(repl, repl), donate_argnums=(1,))
+    else:
+        jitted = jax.jit(train_step_impl, donate_argnums=(1,))
+
+    def train_step(state, batch, rng):
+        return jitted(cldm, state, batch, rng)
+
+    return train_step

@@ -68,9 +68,9 @@ def make_train_step(
     reference ddpm.py:137-150,397-419).
     """
 
-    def loss_fn(trainable, frozen, batch, rng):
+    def loss_fn(trainable, frozen, ld_in, batch, rng):
         unet_params = merge_params(trainable, frozen)
-        ld_t = ld.replace(unet_params=unet_params)
+        ld_t = ld_in.replace(unet_params=unet_params)
         rng_enc, rng_loss = jax.random.split(rng)
         if encode_first_stage and "latent" not in batch:
             x_start = _encode_target(ld_t, batch, condition, rng_enc)
@@ -88,9 +88,15 @@ def make_train_step(
         )
         return loss, loss_dict
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+    # ld is a jit ARGUMENT, not a closure: closed-over VAE/CLIP param trees
+    # embed as HLO constants — ~830MB of them at SD size, which blows the
+    # axon remote-compile upload limit (HTTP 413) and bloats every cache
+    # entry.  (bench.py applies the same rule for the sampling pipelines.)
+    def train_step_impl(ld_in, state: TrainState,
+                        batch: Dict[str, jnp.ndarray], rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, loss_dict), grads = grad_fn(state.params, state.frozen, batch, rng)
+        (loss, loss_dict), grads = grad_fn(state.params, state.frozen, ld_in,
+                                           batch, rng)
         new_state = state.apply_gradients(grads)
         metrics = dict(loss_dict)
         metrics["grad_norm"] = optax_global_norm(grads)
@@ -103,17 +109,19 @@ def make_train_step(
         # tensor-parallel params placed by parallel.tp.shard_params_tp);
         # XLA SPMD propagates the layouts and inserts the TP collectives.
         state_sharding = None if infer_state_sharding else repl
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(state_sharding, data, repl),
+        jitted = jax.jit(
+            train_step_impl,
+            in_shardings=(repl, state_sharding, data, repl),
             out_shardings=None if infer_state_sharding else (repl, repl),
-            donate_argnums=(0,),
+            donate_argnums=(1,),
         )
     else:
-        # single-device mesh: plain jit — SPMD sharding annotations on a
-        # full-size train step inflate the serialized program past what the
-        # axon remote-compile service accepts (HTTP 413), and buy nothing
-        train_step = jax.jit(train_step, donate_argnums=(0,))
+        # single-device mesh: plain jit — SPMD annotations buy nothing
+        jitted = jax.jit(train_step_impl, donate_argnums=(1,))
+
+    def train_step(state, batch, rng):
+        return jitted(ld, state, batch, rng)
+
     return train_step
 
 
@@ -131,7 +139,8 @@ def make_eval_step(
     """Validation loss (plain + EMA weights), reference validation_step
     (ddpm.py:442-450)."""
 
-    def eval_step(state: TrainState, batch, rng):
+    # ld as a jit argument, not a closure — see make_train_step
+    def eval_step_impl(ld_in, state: TrainState, batch, rng):
         metrics = {}
         for tag, unet_params in (
             ("", merge_params(state.params, state.frozen)),
@@ -139,7 +148,7 @@ def make_eval_step(
         ):
             if unet_params is None:
                 continue
-            ld_t = ld.replace(unet_params=unet_params)
+            ld_t = ld_in.replace(unet_params=unet_params)
             rng_enc, rng_loss = jax.random.split(rng)
             if "latent" not in batch:
                 x_start = _encode_target(ld_t, batch, condition, rng_enc)
@@ -154,9 +163,16 @@ def make_eval_step(
                 metrics[f"val/{k}{tag}"] = v
         return metrics
 
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(eval_step, in_shardings=(repl, data, repl),
-                       out_shardings=repl)
-    return jax.jit(eval_step)
+        jitted = jax.jit(eval_step_impl,
+                         in_shardings=(repl, repl, data, repl),
+                         out_shardings=repl)
+    else:
+        jitted = jax.jit(eval_step_impl)
+
+    def eval_step(state, batch, rng):
+        return jitted(ld, state, batch, rng)
+
+    return eval_step
