@@ -76,30 +76,33 @@ class CLIPScorer:
         self.vision_params = vision_params
         self.text_params = text_params
         self.text_proj = text_proj  # [768, proj_dim]
+        # params as jit arguments, not closures: closed-over ViT weights
+        # embed as ~300MB of HLO constants (see train_step.py)
         self._encode_image = jax.jit(self._encode_image_fn)
         self._encode_text = jax.jit(self._encode_text_fn)
 
-    def _encode_image_fn(self, img01: jnp.ndarray) -> jnp.ndarray:
+    def _encode_image_fn(self, params, img01: jnp.ndarray) -> jnp.ndarray:
         b = img01.shape[0]
         x = jax.image.resize(
             img01, (b, self.vision_def.image_size,
                     self.vision_def.image_size, 3), "bicubic")
         x = (x - CLIP_MEAN) / CLIP_STD
-        f = self.vision_def.apply(self.vision_params, x)
+        f = self.vision_def.apply(params, x)
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
-    def _encode_text_fn(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        states = self.text_def.apply(self.text_params, input_ids)
+    def _encode_text_fn(self, params, text_proj,
+                        input_ids: jnp.ndarray) -> jnp.ndarray:
+        states = self.text_def.apply(params, input_ids)
         # pooled = state at EOT position (argmax of ids == EOT)
         eot = jnp.argmax(
             (input_ids == 49407).astype(jnp.int32), axis=-1)
         pooled = jnp.take_along_axis(
             states, eot[:, None, None], axis=1)[:, 0]
-        f = pooled @ self.text_proj
+        f = pooled @ text_proj
         return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
     def score(self, img01: jnp.ndarray, input_ids: jnp.ndarray) -> jnp.ndarray:
         """img01 [B,H,W,3] in [0,1]; input_ids [B,77] → per-sample cos sim."""
-        fi = self._encode_image(img01)
-        ft = self._encode_text(input_ids)
+        fi = self._encode_image(self.vision_params, img01)
+        ft = self._encode_text(self.text_params, self.text_proj, input_ids)
         return jnp.sum(fi * ft, axis=-1)

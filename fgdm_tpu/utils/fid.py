@@ -82,6 +82,7 @@ def clip_feature_fn(scorer) -> Tuple[Callable, int]:
     import jax.numpy as jnp
 
     def fn(img01: np.ndarray) -> np.ndarray:
-        return np.asarray(scorer._encode_image(jnp.asarray(img01)))
+        return np.asarray(scorer._encode_image(
+            scorer.vision_params, jnp.asarray(img01)))
 
     return fn, scorer.vision_def.proj_dim

@@ -316,13 +316,14 @@ def inception_feature_fn(params: Dict[str, jnp.ndarray]
     :func:`clip_feature_fn`.
     """
 
+    # params as a jit argument — closed-over weights embed as HLO constants
     @jax.jit
-    def run(img01):
+    def run(params, img01):
         x = jax.image.resize(
             img01, (img01.shape[0], 299, 299, 3), "bilinear")
         return inception_pool3(params, x * 2.0 - 1.0)
 
     def fn(img01: np.ndarray) -> np.ndarray:
-        return np.asarray(run(jnp.asarray(img01, jnp.float32)))
+        return np.asarray(run(params, jnp.asarray(img01, jnp.float32)))
 
     return fn, 2048
