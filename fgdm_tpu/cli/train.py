@@ -307,6 +307,11 @@ def main(argv=None):
     except Exception:
         melk()
         raise
+    finally:
+        # A max_steps break leaves the prefetch generators suspended with
+        # worker threads and device-resident batches alive; close releases
+        # them before the post-fit test pass.
+        it.close()
     melk()
     print(f"[train] done at step {step}")
 

@@ -152,12 +152,28 @@ class SemanticDataset:
         self.use_rgb = use_rgb
         self.use_ade_colormap = use_ade_colormap
         self.max_class_allowed = max_class_allowed
-        self._rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self) -> int:
         return len(self.images)
 
+    def _sample_rng(self, idx: int, salt: int) -> random.Random:
+        # Per-sample RNG: augmentations depend only on (seed, salt, idx), so
+        # loads are reproducible across runs and worker counts (the threaded
+        # loader calls __getitem__ concurrently; a shared Random would
+        # interleave draws nondeterministically).  ``salt`` is the epoch in
+        # the parallel loader, so augmentations still vary across epochs —
+        # the reference's worker_init_fn contract (`main.py:156-183`).
+        # Mix with odd constants (splitmix-style) so nearby (idx, salt)
+        # pairs don't produce correlated streams.
+        mixed = (self.seed * 0x9E3779B1 + salt) * 0x85EBCA77 + idx
+        return random.Random(mixed & 0xFFFFFFFFFFFFFFFF)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.sample(idx)
+
+    def sample(self, idx: int, salt: int = 0) -> Dict[str, Any]:
+        rng = self._sample_rng(idx, salt)
         path = self.images[idx]
         img = Image.open(path).convert("RGB")
         label_img = Image.open(self.classes[idx])
@@ -166,11 +182,11 @@ class SemanticDataset:
         if self.mode == "cityscapes":
             ai, al = resize_pair(img, label_img, self.size, keep_aspect=True)
         elif self.is_train and self.random_crop:
-            ai, al = random_crop_pair(img, label_img, self.size, self._rng)
+            ai, al = random_crop_pair(img, label_img, self.size, rng)
         else:
             ai, al = resize_pair(img, label_img, self.size, keep_aspect=False)
 
-        if self.random_flip and self._rng.random() < 0.5:
+        if self.random_flip and rng.random() < 0.5:
             ai = ai[:, ::-1].copy()
             al = al[:, ::-1].copy()
 
@@ -203,7 +219,7 @@ class SemanticDataset:
 
         caps = self.captions.get(path, [""])
         out["caption"] = (
-            self._rng.choice(caps) if (self.is_train and len(caps) > 1) else caps[0]
+            rng.choice(caps) if (self.is_train and len(caps) > 1) else caps[0]
         )
         return out
 

@@ -13,10 +13,12 @@ TPU-native replacement for the reference's multi-worker torch DataLoader
   host→device DMA; the JAX equivalent of Lightning's implicit CUDA-stream
   overlap.
 
-Determinism: batches are yielded strictly in submission order and the
-shuffle order depends only on ``seed``/epoch, so a run reproduces exactly
-regardless of worker count (matching the reference's
-``worker_init_fn`` seeding contract, `main.py:156-183`).
+Determinism: batches are yielded strictly in submission order, the
+shuffle order depends only on ``seed``/epoch, and per-sample augmentation
+RNG is derived from ``(dataset.seed, epoch, idx)`` (``SemanticDataset.
+sample``), so a run reproduces exactly regardless of worker count or how
+threads interleave (matching the reference's ``worker_init_fn`` seeding
+contract, `main.py:156-183`).
 """
 
 from __future__ import annotations
@@ -31,8 +33,14 @@ import jax
 import numpy as np
 
 
-def _assemble(dataset, idxs, tokenizer) -> Dict[str, Any]:
-    items = [dataset[int(i)] for i in idxs]
+def _assemble(dataset, idxs, tokenizer, epoch=0) -> Dict[str, Any]:
+    # Datasets with a ``sample(idx, salt)`` method get per-sample seeded
+    # augmentation RNG (salt = epoch): reproducible regardless of how the
+    # thread pool interleaves __getitem__ calls.
+    if hasattr(dataset, "sample"):
+        items = [dataset.sample(int(i), epoch) for i in idxs]
+    else:
+        items = [dataset[int(i)] for i in idxs]
     batch: Dict[str, Any] = {
         "image": np.stack([it["image"] for it in items]).astype(np.float32),
         "parts": np.stack([it["parts"] for it in items]),
@@ -85,7 +93,7 @@ class ParallelBatchLoader:
                 idxs = order[start:start + self.batch_size]
                 if len(idxs) < self.batch_size and self.drop_last:
                     break
-                yield idxs
+                yield epoch, idxs
             epoch += 1
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -93,10 +101,10 @@ class ParallelBatchLoader:
         with ThreadPoolExecutor(self.num_workers) as pool:
             it = self._index_batches()
             try:
-                for idxs in it:
+                for epoch, idxs in it:
                     pending.append(
                         pool.submit(_assemble, self.dataset, idxs,
-                                    self.tokenizer))
+                                    self.tokenizer, epoch))
                     if len(pending) >= self.prefetch_batches:
                         yield pending.popleft().result()
                 while pending:

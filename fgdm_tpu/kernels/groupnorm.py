@@ -151,6 +151,20 @@ def _fused(x, scale, bias, num_groups, eps, apply_silu):
     c = x.shape[-1]
     spatial = int(np.prod(x.shape[1:-1]))
     ck, n_chunks = _chunking(x)
+    # The auto-dispatch guard checks divisibility before choosing this path;
+    # a forced use_fused=True caller must fail loudly here — flooring the
+    # chunk count would silently drop trailing rows from the group statistics
+    # and leave their output uninitialized.
+    if x.ndim == 4 and _NATIVE_4D:
+        assert x.shape[1] % ck == 0, (
+            f"fused GroupNorm needs H ({x.shape[1]}) divisible by the row "
+            f"chunk ({ck}); use the XLA path for this shape")
+        assert ck * n_chunks == x.shape[1]
+    else:
+        assert spatial % ck == 0, (
+            f"fused GroupNorm needs the flattened spatial size ({spatial}) "
+            f"divisible by the row chunk ({ck}); use the XLA path for this "
+            "shape")
     groups = np.repeat(np.arange(num_groups), c // num_groups)
     m = jnp.asarray(np.eye(num_groups, dtype=np.float32)[groups])  # [C, G]
     count = float(spatial * (c // num_groups))

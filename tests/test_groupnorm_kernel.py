@@ -32,6 +32,20 @@ def test_fused_without_silu(monkeypatch, np_rng):
     np.testing.assert_allclose(g.var((1, 3)), 1, atol=1e-3)
 
 
+def test_forced_fused_indivisible_spatial_fails_loud(monkeypatch):
+    """use_fused=True with a spatial size no chunk divides must raise, not
+    silently drop trailing rows from the statistics (advisor r2)."""
+    monkeypatch.setattr(gn, "_INTERPRET", True)
+    monkeypatch.setattr(gn, "_NATIVE_4D", False)
+    # spatial = 3*343 = 1029: _pick_chunk bottoms out at ck=8, 1029 % 8 != 0
+    x = jnp.ones((1, 3, 343, 64), jnp.float32)
+    s = jnp.ones(64)
+    b = jnp.zeros(64)
+    assert gn._pick_chunk(1029, 64) == 8  # the guard's precondition
+    with pytest.raises(AssertionError, match="divisible"):
+        gn.group_norm_silu(x, s, b, num_groups=8, use_fused=True)
+
+
 def test_dispatch_gating():
     """Oversized / misaligned inputs fall back to XLA (no crash)."""
     x = jnp.zeros((1, 512, 512, 128))  # no TPU/interpret here → fallback

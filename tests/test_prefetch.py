@@ -48,6 +48,73 @@ def test_order_matches_serial_iterator():
         assert a["captions"] == b["captions"]
 
 
+class RngDataset(FakeDataset):
+    """Dataset whose samples depend on per-sample augmentation RNG via the
+    ``sample(idx, salt)`` protocol — the shape that caught the shared-Random
+    thread race (advisor r2): a shared generator makes augmentations depend
+    on thread interleaving."""
+
+    def __init__(self, n=32, seed=7):
+        super().__init__(n)
+        self.seed = seed
+
+    def sample(self, i, salt=0):
+        import random
+
+        rng = random.Random((self.seed * 1009 + salt) * 1013 + i)
+        img = np.full((8, 8, 3), i + rng.random(), np.float32)
+        return {"image": img, "parts": np.int32(i), "caption": f"cap{i}"}
+
+    def __getitem__(self, i):
+        return self.sample(i)
+
+
+def test_augmentation_rng_deterministic_across_worker_counts():
+    ds = RngDataset(32)
+    a = _collect(iter(ParallelBatchLoader(ds, 4, shuffle=True, seed=3,
+                                          epochs=2, num_workers=1)), 12)
+    b = _collect(iter(ParallelBatchLoader(ds, 4, shuffle=True, seed=3,
+                                          epochs=2, num_workers=8,
+                                          prefetch_batches=6)), 12)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+    # epoch is the RNG salt: the same index drawn in epoch 2 must get fresh
+    # augmentation (batches 0-7 are epoch 1, 8-11 epoch 2 for n=32/bs=4)
+    e1 = np.sort(np.concatenate([x["image"][:, 0, 0, 0] for x in a[:8]]))
+    e2 = np.sort(np.concatenate([x["image"][:, 0, 0, 0] for x in a[8:]]))
+    assert not np.array_equal(e1[:16], e2)
+
+
+def test_semantic_dataset_rng_is_per_sample(tmp_path):
+    """SemanticDataset augmentations must be a pure function of
+    (seed, salt, idx) — same item fetched twice or out of order is
+    bit-identical."""
+    from PIL import Image
+
+    from fgdm_tpu.data.dataset import SemanticDataset
+
+    rng = np.random.default_rng(0)
+    imgs, labs = [], []
+    for i in range(4):
+        ip = tmp_path / f"im{i}.png"
+        lp = tmp_path / f"lb{i}.png"
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(ip)
+        Image.fromarray(rng.integers(0, 5, (48, 64), np.uint8)).save(lp)
+        imgs.append(str(ip))
+        labs.append(str(lp))
+    ds = SemanticDataset("coco", 32, imgs, labs, seed=11,
+                         captions={imgs[0]: ["a", "b", "c"]})
+    first = [ds.sample(i, salt=5) for i in range(4)]
+    again = [ds.sample(i, salt=5) for i in reversed(range(4))][::-1]
+    for x, y in zip(first, again):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        assert x["caption"] == y["caption"]
+    # different salt (epoch) gives a different augmentation stream
+    other = ds.sample(0, salt=6)
+    assert (other["image"] != first[0]["image"]).any() or \
+        other["caption"] != first[0]["caption"]
+
+
 def test_epochs_and_drop_last():
     ds = FakeDataset(10)
     batches = list(iter(ParallelBatchLoader(ds, 4, shuffle=False, epochs=2,
