@@ -59,9 +59,19 @@ def sd_controlnet(dtype=jnp.bfloat16, **overrides) -> ControlNet:
 
 
 def _abstract_init(module, *args, **kwargs):
+    """Zero-filled expect tree for checkpoint ingest (shapes only — every
+    leaf is overwritten by the checkpoint or re-initialized for real by
+    ``_fill_missing_from_init``)."""
     rng = jax.random.PRNGKey(0)
     shapes = jax.eval_shape(lambda: module.init(rng, *args, **kwargs))
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _real_init(module, seed, *args, **kwargs):
+    """Genuine module init for the no-checkpoint path: a 'random init' model
+    must be alive (the zero expect tree would make every forward constant).
+    Un-jitted: bool kwargs like ``sample_posterior`` must stay static."""
+    return module.init(jax.random.PRNGKey(seed), *args, **kwargs)
 
 
 def _fill_missing_from_init(params, missing, module, init_args,
@@ -114,9 +124,19 @@ def load_fgdm(
            if unet.context_dim else None)
     img = jnp.zeros((1, latent_size * 8, latent_size * 8, vae.in_channels))
     ids = jnp.zeros((1, clip.max_length), jnp.int32)
-    unet_params = _abstract_init(unet, x, t, ctx)
-    vae_params = _abstract_init(vae, img, sample_posterior=False)
-    clip_params = _abstract_init(clip, ids)
+    unet_kwargs = {}
+    if unet.num_prompts > 1:
+        # multi-adapter (AdaptUNetModel): extra adapters only materialize
+        # when extra_pconds are traced at init
+        unet_kwargs["extra_pconds"] = [x] * (unet.num_prompts - 1)
+    if not ckpt_path:
+        unet_params = _real_init(unet, 0, x, t, ctx, **unet_kwargs)
+        vae_params = _real_init(vae, 1, img, sample_posterior=False)
+        clip_params = _real_init(clip, 2, ids)
+    else:
+        unet_params = _abstract_init(unet, x, t, ctx, **unet_kwargs)
+        vae_params = _abstract_init(vae, img, sample_posterior=False)
+        clip_params = _abstract_init(clip, ids)
 
     if ckpt_path:
         sd = ti.load_torch_state_dict(ckpt_path)
@@ -128,7 +148,7 @@ def load_fgdm(
             print(f"[load_fgdm] {ckpt_path}: missing unet={len(m1)} "
                   f"vae={len(m2)} clip={len(m3)} unexpected={len(u1)}")
         unet_params = _fill_missing_from_init(
-            unet_params, m1, unet, (x, t, ctx), label="unet",
+            unet_params, m1, unet, (x, t, ctx), unet_kwargs, label="unet",
             verbose=verbose)
         vae_params = _fill_missing_from_init(
             vae_params, m2, vae, (img,), {"sample_posterior": False},
@@ -164,15 +184,17 @@ def load_controlnet(
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 77, 768))
     hint = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
-    unet_params = _abstract_init(unet, x, t, ctx)
-    cn_params = _abstract_init(cn, x, hint, t, ctx)
+    init = _abstract_init if ckpt_path else (
+        lambda m, *a, **kw: _real_init(m, 0, *a, **kw))
+    unet_params = init(unet, x, t, ctx)
+    cn_params = init(cn, x, hint, t, ctx)
     if share_first_stage is not None:
         vae_params = share_first_stage.vae_params
         clip_params = share_first_stage.clip_params
     else:
-        vae_params = _abstract_init(vae, jnp.zeros((1, 256, 256, 3)),
-                                    sample_posterior=False)
-        clip_params = _abstract_init(clip, jnp.zeros((1, 77), jnp.int32))
+        vae_params = init(vae, jnp.zeros((1, 256, 256, 3)),
+                          sample_posterior=False)
+        clip_params = init(clip, jnp.zeros((1, 77), jnp.int32))
 
     if ckpt_path:
         sd = ti.load_torch_state_dict(ckpt_path)

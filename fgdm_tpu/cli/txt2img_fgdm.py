@@ -68,7 +68,135 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--inference_loss", action="store_true",
                    help="attention-alignment guidance inside DDIM "
                         "(reference ddim.py:190-191,288-376)")
+    # N-factor chain (BASELINE #3; reference multi-adapter composition,
+    # scripts/txt2img.py:370-394)
+    p.add_argument("--factors", type=str, default=None,
+                   help="comma list of condition factors to chain, e.g. "
+                        "'seg,depth,normal' — each factor is adapter-"
+                        "prompted by the previous one; the last map drives "
+                        "the ControlNet stage")
+    p.add_argument("--factor_ckpts", type=str, default=None,
+                   help="comma list of per-factor checkpoints (default "
+                        "models/fgdm_<factor>.pth)")
+    p.add_argument("--all_pconds", action="store_true",
+                   help="multi-adapter composition: every earlier factor "
+                        "feeds an extra adapter of each later factor "
+                        "(reference AdaptUNetModel, openaimodel.py:1291-1309)")
     return p
+
+
+def _run_factor_chain(opt, spec, dtype):
+    """N-factor product path: text→factor₁→…→factorₙ(→image), one traced
+    program (``sampling.chain.fgdm_chain_n``; reference composes factors via
+    separate script invocations + multi-adapter prompting,
+    `scripts/txt2img.py:370-394`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fgdm_tpu.checkpoint.loader import (load_controlnet, load_fgdm,
+                                            sd_unet)
+    from fgdm_tpu.models.clip import CLIPTokenizer
+    from fgdm_tpu.sampling import chain as chain_mod
+
+    names = [s.strip() for s in opt.factors.split(",") if s.strip()]
+    if not names:
+        raise SystemExit("--factors given but empty")
+    if opt.factor_ckpts:
+        cks = [c.strip() or None for c in opt.factor_ckpts.split(",")]
+        if len(cks) != len(names):
+            raise SystemExit(
+                f"--factor_ckpts has {len(cks)} entries for "
+                f"{len(names)} factors")
+    else:
+        cks = [f"models/fgdm_{n}.pth" for n in names]
+
+    factors = []
+    for k, (name, ck) in enumerate(zip(names, cks)):
+        ck = ck if (ck and os.path.exists(ck)) else None
+        if ck is None:
+            print(f"[txt2img_fgdm] factor '{name}': ckpt missing — "
+                  "random init")
+        # with --all_pconds factor k needs k-1 extra adapters (every earlier
+        # factor feeds one); ingest fills adapters absent from the ckpt from
+        # module init
+        n_prompts = max(1, k) if opt.all_pconds else 1
+        if spec is not None:
+            unet_def = (spec.unet_def.clone(num_prompts=n_prompts)
+                        if n_prompts > 1 else spec.unet_def)
+            ld_k = load_fgdm(
+                ck, dtype=dtype, latent_size=spec.image_size,
+                unet=unet_def, vae=spec.vae_def, clip=spec.clip_def,
+                schedule=spec.schedule(), scale_factor=spec.scale_factor,
+                conditioning_key=spec.conditioning_key)
+        else:
+            ld_k = load_fgdm(ck, dtype=dtype, latent_size=opt.H // 8,
+                             unet=sd_unet(dtype=dtype,
+                                          num_prompts=n_prompts))
+        factors.append(ld_k)
+
+    tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
+    b = opt.n_samples
+    # '|' splits per-factor prompts; a single prompt drives every factor
+    prompts = [s.strip() for s in opt.prompt.split("|")]
+    prompts = (prompts + [prompts[-1]] * len(names))[: len(names)]
+    factor_ctxs = [
+        ld_k.get_learned_conditioning(jnp.asarray(tok([p] * b)))
+        for ld_k, p in zip(factors, prompts)
+    ]
+    empty_ctx = factors[0].get_learned_conditioning(
+        jnp.asarray(tok([opt.n_prompt] * b)))
+
+    cldm = cn_ctx = cn_neg = None
+    if opt.use_controlnet:
+        cn_ckpt = opt.cn_ckpt or f"models/fgdm_control_sd15_{names[-1]}.pth"
+        cn_ckpt = cn_ckpt if os.path.exists(cn_ckpt) else None
+        cldm = load_controlnet(cn_ckpt, dtype=dtype, share_first_stage=None)
+        cn_ctx = cldm.get_learned_conditioning(jnp.asarray(
+            tok([prompts[0] + ", " + chain_mod.A_PROMPT] * b)))
+        cn_neg = cldm.get_learned_conditioning(
+            jnp.asarray(tok([chain_mod.N_PROMPT] * b)))
+
+    image_hw = (512, 512) if opt.use_controlnet else (opt.H, opt.W)
+
+    @jax.jit
+    def run(factors, cldm, rng, factor_ctxs, empty_ctx, cn_ctx, cn_neg):
+        return chain_mod.fgdm_chain_n(
+            factors, cldm, rng, factor_ctxs, empty_ctx,
+            cn_prompt_ctx=cn_ctx, cn_neg_ctx=cn_neg,
+            cond_hw=(opt.H, opt.W), image_hw=image_hw,
+            factor_steps=opt.ddim_steps, factor_scale=opt.scale,
+            all_pconds=opt.all_pconds,
+        )
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    from PIL import Image
+
+    rng = jax.random.PRNGKey(opt.seed)
+    for it in range(opt.n_iter):
+        rng, r = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out = run(factors, cldm, r, factor_ctxs, empty_ctx, cn_ctx, cn_neg)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        print(f"[chain_n] {len(names)} factors"
+              f"{' + image' if cldm is not None else ''}: {b} samples in "
+              f"{dt:.2f}s ({b / dt:.3f} img/s)")
+        for name, cond in zip(names, out["conditions"]):
+            d = os.path.join(opt.outdir, f"factor_{name}")
+            os.makedirs(d, exist_ok=True)
+            arr = np.asarray(cond * 255).astype(np.uint8)
+            for i, a in enumerate(arr):
+                Image.fromarray(a).save(
+                    os.path.join(d, f"{name}_{it:02}_{i:04}.png"))
+        if out["image"] is not None:
+            d = os.path.join(opt.outdir, f"{names[-1]}_images")
+            os.makedirs(d, exist_ok=True)
+            arr = np.asarray(
+                jnp.clip((out["image"] + 1) / 2, 0, 1) * 255).astype(np.uint8)
+            for i, a in enumerate(arr):
+                Image.fromarray(a).save(
+                    os.path.join(d, f"image_{it:02}_{i:04}.png"))
+    print(f"Samples written to {opt.outdir}")
 
 
 def main(argv=None):
@@ -96,12 +224,18 @@ def main(argv=None):
     if opt.config and os.path.exists(opt.config):
         cfg = load_config(opt.config)
         spec = instantiate_from_config(cfg["model"], dtype=dtype)
+
+    if opt.factors:
+        return _run_factor_chain(opt, spec, dtype)
+
     ckpt = opt.ckpt if os.path.exists(opt.ckpt) else None
     if ckpt is None:
         print(f"[txt2img_fgdm] ckpt {opt.ckpt} not found — random init")
-    ld = load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // 8,
-                   use_time_adapter=bool(
-                       spec and spec.unet_def.use_time_adapter))
+    if spec is not None:
+        # honor the parsed config's module defs/schedule/scale_factor
+        ld = spec.load(ckpt, dtype=dtype)
+    else:
+        ld = load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // 8)
 
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
     if ckpt is not None:

@@ -151,7 +151,7 @@ def ddim_sample(
         x_prev, pred_x0 = ddim_step(x, e_t, index, sched, noise, temperature)
         out = ()
         if log_every_t:
-            out = (x_prev,)
+            out = (x_prev, pred_x0)
         return x_prev, out
 
     xs = (jnp.arange(S), step_rngs)
@@ -159,6 +159,8 @@ def ddim_sample(
     intermediates = {}
     if log_every_t:
         intermediates["x_inter"] = outs[0][::log_every_t]
+        # x̂₀ trajectory (reference intermediates['pred_x0'], ddim.py:222)
+        intermediates["pred_x0"] = outs[1][::log_every_t]
     return x, intermediates
 
 
