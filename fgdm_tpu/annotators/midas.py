@@ -146,7 +146,10 @@ class ViTBlock(nn.Module):
         x = x + Dense(self.dim, dtype=self.dtype, name="proj")(o)
         h = LayerNorm32(eps=1e-6, name="norm2")(x)
         h = Dense(self.dim * 4, dtype=self.dtype, name="fc1")(h)
-        h = jax.nn.gelu(h.astype(jnp.float32)).astype(h.dtype)
+        # exact erf GELU: timm ViT uses torch nn.GELU() (approximate='none');
+        # jax.nn.gelu defaults to the tanh approximation
+        h = jax.nn.gelu(h.astype(jnp.float32),
+                        approximate=False).astype(h.dtype)
         h = Dense(self.dim, dtype=self.dtype, name="fc2")(h)
         return x + h
 
@@ -220,30 +223,43 @@ class DPTHybrid(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [B,H,W,3] normalized image → inverse depth [B,H,W]."""
-        b, H, W, _ = x.shape
-        f4, f8, f16 = ResNetV2Stem(dtype=self.dtype, name="resnet")(x)
+    def __call__(self, x: jnp.ndarray, taps=None) -> jnp.ndarray:
+        """x: [B,H,W,3] normalized image → inverse depth [B,H,W].
 
-        hh, ww = f16.shape[1], f16.shape[2]
-        tokens = Conv2d(self.embed_dim, 1, padding=0, dtype=self.dtype,
-                        name="patch_embed")(f16).reshape(b, hh * ww,
-                                                         self.embed_dim)
-        cls = self.param("cls_token", nn.initializers.zeros,
-                         (1, 1, self.embed_dim), jnp.float32)
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, hh * ww + 1, self.embed_dim), jnp.float32)
-        t = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(tokens.dtype),
-             tokens], axis=1)
-        t = t + pos.astype(t.dtype)
+        ``taps=(f4, f8, tok3, tok4)`` bypasses the stem + ViT blocks and
+        feeds the readout/reassemble/fusion/head path directly — the
+        injection point right after ``forward_flex`` in the reference
+        (`vit.py:56-64`), used by the neck forward-parity oracle
+        (tests/test_annotator_oracle.py) since the ViT backbone itself is
+        timm-bound."""
+        if taps is not None:
+            f4, f8, tok3, tok4 = taps
+            b = f4.shape[0]
+            hh, ww = f8.shape[1] // 2, f8.shape[2] // 2
+            vit_taps = [tok3, tok4]
+        else:
+            b, H, W, _ = x.shape
+            f4, f8, f16 = ResNetV2Stem(dtype=self.dtype, name="resnet")(x)
 
-        taps = []
-        for i in range(self.num_layers):
-            t = ViTBlock(self.embed_dim, heads=self.num_heads,
-                         dtype=self.dtype, name=f"blocks_{i}")(t)
-            if i in self.hooks:
-                taps.append(t)
+            hh, ww = f16.shape[1], f16.shape[2]
+            tokens = Conv2d(self.embed_dim, 1, padding=0, dtype=self.dtype,
+                            name="patch_embed")(f16).reshape(b, hh * ww,
+                                                             self.embed_dim)
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, self.embed_dim), jnp.float32)
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, hh * ww + 1, self.embed_dim), jnp.float32)
+            t = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(
+                    tokens.dtype), tokens], axis=1)
+            t = t + pos.astype(t.dtype)
+
+            vit_taps = []
+            for i in range(self.num_layers):
+                t = ViTBlock(self.embed_dim, heads=self.num_heads,
+                             dtype=self.dtype, name=f"blocks_{i}")(t)
+                if i in self.hooks:
+                    vit_taps.append(t)
 
         def readout(tok, name):
             # "project" readout: concat cls token, Linear(2d→d)+GELU
@@ -252,11 +268,14 @@ class DPTHybrid(nn.Module):
             merged = jnp.concatenate(
                 [feats, jnp.broadcast_to(cls_t, feats.shape)], axis=-1)
             y = Dense(self.embed_dim, dtype=self.dtype, name=name)(merged)
-            y = jax.nn.gelu(y.astype(jnp.float32)).astype(y.dtype)
+            # exact erf GELU (reference ProjectReadout uses nn.GELU(),
+            # vit.py:36)
+            y = jax.nn.gelu(y.astype(jnp.float32),
+                            approximate=False).astype(y.dtype)
             return y.reshape(b, hh, ww, self.embed_dim)
 
-        l3 = readout(taps[0], "readout3")
-        l4 = readout(taps[1], "readout4")
+        l3 = readout(vit_taps[0], "readout3")
+        l4 = readout(vit_taps[1], "readout4")
         # reassemble (vit.py:429-460): each tap gets a 1×1 768→768 conv
         # (act_postprocess{3,4}.3); layer4 additionally downsamples to 1/32
         # with a 3×3 stride-2 conv (act_postprocess4.4)

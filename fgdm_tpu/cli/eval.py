@@ -1,0 +1,288 @@
+"""Evaluation CLI — CLIP score + FID for FG-DM samples.
+
+Closes the loop the reference leaves to offline tooling: it evaluates with
+clean-fid + a CLIP scorer outside the repo (SURVEY §4;
+`/root/reference/utils/clip_utils.py:12-80` is the scorer it ships), so a
+user must glue generation and scoring by hand.  Here one command either
+
+* generates samples from a checkpoint + prompt file (same model assembly as
+  ``cli/txt2img_fgdm.py``) and scores them, or
+* scores an existing image directory (``--images_dir``), the clean-fid
+  offline workflow.
+
+Metrics land as one JSON object (stdout + ``--out``):
+``{"clip_score": ..., "fid": ..., "n_images": N, "fid_backend": ...}``.
+FID needs ``--ref_dir`` (real images); the backend is InceptionV3-pool3
+when ``--inception_ckpt`` is given (standard FID), else the CLIP tower
+(CLIP-FID).  Fails loud when weights or the CLIP vocab are absent — a
+hash-fallback tokenizer or random towers would silently produce garbage
+metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="FG-DM evaluation (TPU)")
+    # generation (ignored with --images_dir)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--from-file", dest="from_file", type=str, default=None,
+                   help="file with one prompt per line")
+    p.add_argument("--n_samples", type=int, default=4,
+                   help="samples per generation batch")
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--H", type=int, default=256)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--precision", type=str, default="autocast",
+                   choices=["autocast", "full"])
+    p.add_argument("--outdir", type=str, default=None,
+                   help="also save generated samples here")
+    # scoring inputs
+    p.add_argument("--images_dir", type=str, default=None,
+                   help="score this directory instead of generating; "
+                        "CLIP score pairs images (sorted) with prompts")
+    p.add_argument("--ref_dir", type=str, default=None,
+                   help="real-image directory (enables FID)")
+    # metric backends
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="CLIP checkpoint (vision+text towers) for the "
+                        "scorer; required unless a scorer is injected")
+    p.add_argument("--inception_ckpt", type=str, default=None,
+                   help="InceptionV3 FID checkpoint "
+                        "(pt_inception-2015-12-21 / torchvision schema)")
+    p.add_argument("--vocab_dir", type=str, default=None,
+                   help="dir with CLIP vocab.json+merges.txt")
+    p.add_argument("--out", type=str, default=None,
+                   help="write the metrics JSON here too")
+    return p
+
+
+def _load_dir_images(d: str, size: Optional[int] = None) -> "np.ndarray":
+    """PNG/JPG directory → [N,H,W,3] float in [0,1] (sorted order)."""
+    import numpy as np
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if not files:
+        raise SystemExit(f"[eval] no images under {d}")
+    ims = []
+    for f in files:
+        im = Image.open(f).convert("RGB")
+        if size is not None:
+            im = im.resize((size, size), Image.BICUBIC)
+        ims.append(np.asarray(im, np.float32) / 255.0)
+    if size is None:
+        hw = ims[0].shape
+        if any(i.shape != hw for i in ims):
+            raise SystemExit(f"[eval] images under {d} have mixed sizes; "
+                             "pass same-size images")
+    return np.stack(ims)
+
+
+def default_scorer_factory(opt):
+    """Build a production CLIPScorer from ``--clip_ckpt`` via the fuzzy
+    torch-state-dict matcher; fails loud on missing weights/vocab."""
+    import jax.numpy as jnp
+
+    from fgdm_tpu.checkpoint.fuzzy_ingest import (apply_mapping,
+                                                  match_state_dict)
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+    from fgdm_tpu.models.clip import CLIPTextEncoder, CLIPTokenizer
+    from fgdm_tpu.utils.clip_score import CLIPScorer, CLIPVisionEncoder
+
+    if not (opt.clip_ckpt and os.path.exists(opt.clip_ckpt)):
+        raise SystemExit(
+            "[eval] --clip_ckpt is required (CLIP score with random towers "
+            "is meaningless); pass the OpenAI/HF CLIP checkpoint path")
+    tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
+    tok.check_production("eval")
+
+    sd = load_torch_state_dict(opt.clip_ckpt)
+    import jax
+
+    import numpy as np
+
+    vision = CLIPVisionEncoder()
+    text = CLIPTextEncoder()
+    vp = jax.eval_shape(lambda: vision.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
+    tp = jax.eval_shape(lambda: text.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)))
+
+    def strict_ingest(sub, expect, label):
+        mapping, unmatched = match_state_dict(sub, expect)
+        if unmatched:
+            raise SystemExit(
+                f"[eval] CLIP {label} ingest failed: {len(unmatched)} "
+                f"unmatched params, e.g. {unmatched[:4]}")
+        return apply_mapping(sub, mapping, expect)
+
+    vis_sd = {k: v for k, v in sd.items() if "visual" in k or "vision" in k}
+    txt_sd = {k: v for k, v in sd.items()
+              if not ("visual" in k or "vision" in k
+                      or "text_projection" in k or "logit_scale" in k)}
+    vparams = strict_ingest(vis_sd, vp, "vision")
+    tparams = strict_ingest(txt_sd, tp, "text")
+    proj = sd.get("text_projection") or sd.get("text_projection.weight")
+    if proj is None:
+        raise SystemExit("[eval] CLIP ckpt lacks text_projection")
+    proj = np.asarray(proj, np.float32)
+    if proj.shape[0] != text.embed_dim:
+        proj = proj.T  # HF stores [proj, embed]
+    return CLIPScorer(vparams, tparams, jnp.asarray(proj),
+                      vision_def=vision, text_def=text), tok
+
+
+def default_fid_backend(opt, scorer) -> Tuple[Callable, int, str]:
+    if opt.inception_ckpt:
+        if not os.path.exists(opt.inception_ckpt):
+            raise SystemExit(
+                f"[eval] --inception_ckpt {opt.inception_ckpt} not found")
+        from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+        from fgdm_tpu.utils.inception import (ingest_inception,
+                                              inception_feature_fn)
+
+        params = ingest_inception(load_torch_state_dict(opt.inception_ckpt))
+        fn, dim = inception_feature_fn(params)
+        return fn, dim, "inception_pool3"
+    from fgdm_tpu.utils.fid import clip_feature_fn
+
+    fn, dim = clip_feature_fn(scorer)
+    return fn, dim, "clip"
+
+
+def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
+    """Sample images for the prompts → ([N,H,W,3] in [0,1], prompts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fgdm_tpu.checkpoint.loader import load_fgdm
+    from fgdm_tpu.config import instantiate_from_config, load_config
+    from fgdm_tpu.core.schedules import DDIMSchedule
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    spec = None
+    if opt.config and os.path.exists(opt.config):
+        spec = instantiate_from_config(load_config(opt.config)["model"],
+                                       dtype=dtype)
+    ckpt = opt.ckpt if (opt.ckpt and os.path.exists(opt.ckpt)) else None
+    if opt.ckpt and ckpt is None:
+        raise SystemExit(f"[eval] --ckpt {opt.ckpt} not found — metrics on "
+                         "a random-init model are meaningless")
+    ld = (spec.load(ckpt, dtype=dtype) if spec is not None
+          else load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // 8))
+
+    if opt.from_file:
+        with open(opt.from_file) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+    elif opt.prompt:
+        prompts = [opt.prompt]
+    else:
+        raise SystemExit("[eval] need --prompt or --from-file (or "
+                         "--images_dir to skip generation)")
+
+    b = opt.n_samples
+    sched = DDIMSchedule.create(ld.schedule, opt.ddim_steps)
+    uc = ld.get_learned_conditioning(jnp.asarray(tok([""] * b)))
+    shape = (b, opt.H // 8, opt.W // 8, ld.unet_def.in_channels)
+
+    @jax.jit
+    def sample(ld, rng, ctx):
+        z, _ = ddim_sample(ld.denoise_fn(), rng, shape, sched,
+                           {"c_crossattn": ctx}, {"c_crossattn": uc},
+                           cfg_scale=opt.scale)
+        return ld.decode_first_stage(z)
+
+    rng = jax.random.PRNGKey(opt.seed)
+    chunks = [prompts[i:i + b] for i in range(0, len(prompts), b)]
+    imgs, used = [], []
+    for pb in chunks:
+        padded = pb + [pb[-1]] * (b - len(pb))
+        rng, r = jax.random.split(rng)
+        ctx = ld.get_learned_conditioning(jnp.asarray(tok(padded)))
+        x = sample(ld, r, ctx)
+        img01 = np.asarray(jnp.clip((x + 1.0) / 2.0, 0.0, 1.0),
+                           np.float32)[: len(pb)]
+        imgs.append(img01)
+        used += pb
+    out = np.concatenate(imgs)
+    if opt.outdir:
+        from PIL import Image
+
+        os.makedirs(opt.outdir, exist_ok=True)
+        for i, a in enumerate((out * 255).astype(np.uint8)):
+            Image.fromarray(a).save(os.path.join(opt.outdir, f"{i:05}.png"))
+    return out, used
+
+
+def main(argv: Optional[Sequence[str]] = None,
+         scorer_factory=default_scorer_factory,
+         fid_backend_factory=default_fid_backend) -> dict:
+    opt = get_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    scorer, tok = scorer_factory(opt)
+
+    if opt.images_dir:
+        imgs = _load_dir_images(opt.images_dir)
+        prompts: List[str] = []
+        if opt.from_file:
+            with open(opt.from_file) as f:
+                prompts = [l.strip() for l in f if l.strip()]
+        elif opt.prompt:
+            prompts = [opt.prompt] * len(imgs)
+        if prompts and len(prompts) != len(imgs):
+            raise SystemExit(
+                f"[eval] {len(imgs)} images vs {len(prompts)} prompts — "
+                "CLIP score needs one prompt per (sorted) image")
+    else:
+        imgs, prompts = _generate(opt, tok)
+
+    metrics: dict = {"n_images": int(imgs.shape[0])}
+    if prompts:
+        ids = jnp.asarray(tok(prompts))
+        scores = []
+        for i in range(0, len(prompts), 16):
+            scores.append(np.asarray(scorer.score(
+                jnp.asarray(imgs[i:i + 16]), ids[i:i + 16])))
+        metrics["clip_score"] = float(np.mean(np.concatenate(scores)))
+
+    if opt.ref_dir:
+        from fgdm_tpu.utils.fid import compute_fid
+
+        feat_fn, dim, backend = fid_backend_factory(opt, scorer)
+        real = _load_dir_images(opt.ref_dir)
+
+        def batches(arr, bs=16):
+            for i in range(0, arr.shape[0], bs):
+                yield arr[i:i + bs]
+
+        metrics["fid"] = float(compute_fid(
+            batches(real), batches(imgs), feat_fn, dim))
+        metrics["fid_backend"] = backend
+
+    line = json.dumps(metrics)
+    print(line)
+    if opt.out:
+        with open(opt.out, "w") as f:
+            f.write(line + "\n")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

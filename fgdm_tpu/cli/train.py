@@ -46,6 +46,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_every", type=int, default=0)
     p.add_argument("--ckpt_every", type=int, default=10_000)
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--img_log_freq", type=int, default=0,
+                   help="log image diagnostics every N steps (0 = only when "
+                        "the config's lightning callbacks request it)")
     p.add_argument("--num_workers", type=int, default=8,
                    help="batch-assembly threads (torch DataLoader "
                         "num_workers equivalent)")
@@ -242,6 +245,30 @@ def main(argv=None):
     eval_fn = (make_eval_step(ld, mesh=mesh, condition=condition)
                if val_ds is not None else None)
 
+    # -- image diagnostics (reference ImageLogger callback, main.py:313-417)
+    from fgdm_tpu.train.metrics import ImageLogger, log_images
+
+    img_logger = None
+    for cb in ((config.get("lightning") or {}).get("callbacks") or {}
+               ).values():
+        if str(cb.get("target", "")).endswith("ImageLogger"):
+            img_logger = instantiate_from_config(cb)(logdir)
+    if opt.img_log_freq > 0:
+        img_logger = ImageLogger(logdir, batch_frequency=opt.img_log_freq,
+                                 is_main_process=jax.process_index() == 0)
+
+    def maybe_log_images(step, state, batch, rng):
+        if img_logger is None or not img_logger.should_log(step):
+            return
+        # plotting uses the EMA weights when available (reference ema_scope)
+        params = (state.ema_full_params() if state.ema is not None
+                  else state.full_params())
+        imgs = log_images(
+            ld.replace(unet_params=params), batch, rng,
+            ddim_steps=20, inpaint=True, plot_denoise_rows=True,
+            plot_progressive_rows=True, plot_diffusion_rows=True)
+        img_logger.log(step, imgs)
+
     # -- melk: save on SIGUSR1 / exception (main.py:736-761) ---------------
     state_ref = {"state": state, "step": start_step}
 
@@ -283,6 +310,8 @@ def main(argv=None):
             fn = distill_fn if use_distill else step_fn
             state, metrics = fn(state, dev_batch, step_rng)
             state_ref["state"], state_ref["step"] = state, step
+            maybe_log_images(step, state, dev_batch,
+                             jax.random.PRNGKey(step))
             if step % 50 == 0:
                 dt = time.time() - t0
                 m = {k: float(v) for k, v in metrics.items()}

@@ -98,13 +98,35 @@ class ImageLogger:
         from PIL import Image
 
         for key, arr in images.items():
-            arr = np.asarray(arr)[: self.max_images]
-            if arr.dtype != np.uint8:
-                arr = to_uint8(arr)
-            grid = make_grid(arr)
+            arr = np.asarray(arr)
+            if arr.ndim == 3:  # *_row keys arrive as a pre-assembled grid
+                grid = arr if arr.dtype == np.uint8 else to_uint8(arr)
+            else:
+                arr = arr[: self.max_images]
+                if arr.dtype != np.uint8:
+                    arr = to_uint8(arr)
+                grid = make_grid(arr)
             Image.fromarray(grid.squeeze() if grid.shape[-1] == 1 else grid
                             ).save(
                 os.path.join(self.dir, f"{key}_gs-{step:06}.png"))
+
+
+def log_txt_as_img(wh, captions: Iterable[str]) -> np.ndarray:
+    """Render captions onto white tiles (reference ``log_txt_as_img``,
+    `ldm/util.py:22-41`) → [-1,1] float [B,H,W,3]."""
+    from PIL import Image, ImageDraw
+
+    w, h = wh
+    tiles = []
+    for cap in captions:
+        img = Image.new("RGB", (w, h), "white")
+        draw = ImageDraw.Draw(img)
+        nc = max(int(10 * (w / 256)), 1)
+        lines = "\n".join(
+            str(cap)[i:i + nc] for i in range(0, len(str(cap)), nc))
+        draw.text((0, 0), lines, fill="black")
+        tiles.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(tiles)
 
 
 def log_images(
@@ -115,9 +137,30 @@ def log_images(
     ddim_steps: int = 50,
     cfg_scale: float = 7.5,
     sample: bool = True,
+    inpaint: bool = False,
+    plot_denoise_rows: bool = False,
+    plot_progressive_rows: bool = False,
+    plot_diffusion_rows: bool = False,
+    n_diffusion_steps: int = 8,
 ) -> Dict[str, np.ndarray]:
     """Model-level diagnostics dict (reference ``log_images``,
-    ddpm.py:1466-1599): inputs, VAE reconstruction, CFG samples."""
+    ddpm.py:1466-1599).
+
+    Always: ``inputs``, ``reconstruction``, and ``conditioning`` (captions
+    rendered as image tiles) when the batch carries captions.  Optional,
+    matching the reference's flags:
+
+    * ``plot_diffusion_rows`` — forward q_sample noising progression grid.
+    * ``sample`` — CFG ``samples``; with ``plot_denoise_rows`` also a
+      ``denoise_row`` grid of intermediate x states.
+    * ``inpaint`` — ``samples_inpainting``/``mask`` (center-square hole) and
+      ``samples_outpainting``; the sampler path is the mask/x0 compositing
+      in :func:`fgdm_tpu.sampling.ddim.ddim_sample`.  (The reference runs
+      its *outpaint* block with the same mask as inpaint — a visible slip,
+      ddpm.py:1583-1588; here outpainting inverts the mask.)
+    * ``plot_progressive_rows`` — ``progressive_row`` from the x̂₀
+      trajectory (the reference's progressive_denoising x0_partial rows).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -129,14 +172,71 @@ def log_images(
     out["inputs"] = np.asarray(img)
     z = ld.encode_first_stage(img)
     out["reconstruction"] = np.asarray(ld.decode_first_stage(z))
-    if sample and "input_ids" in batch:
+    caps = batch.get("captions") or batch.get("caption")
+    if caps is not None:
+        out["conditioning"] = log_txt_as_img(
+            (img.shape[2], img.shape[1]), list(caps)[:n])
+
+    if plot_diffusion_rows:
+        # forward-noising progression: q_sample at evenly spaced t
+        # (reference ddpm.py:1512-1529)
+        T = int(ld.schedule.num_timesteps)
+        ts = np.linspace(0, T - 1, n_diffusion_steps).astype(np.int32)
+        rng, drng = jax.random.split(rng)
+        noise = jax.random.normal(drng, z.shape, jnp.float32)
+        frames = [
+            np.asarray(ld.decode_first_stage(ld.schedule.q_sample(
+                z, jnp.full((z.shape[0],), int(t), jnp.int32), noise)))
+            for t in ts
+        ]
+        # [S,B,H,W,C] → one row per sample
+        out["diffusion_row"] = denoise_row_grid(np.stack(frames))
+
+    have_ctx = "input_ids" in batch
+    if have_ctx:
         ctx = ld.get_learned_conditioning(jnp.asarray(batch["input_ids"][:n]))
         uc = ld.get_learned_conditioning(
             jnp.zeros_like(jnp.asarray(batch["input_ids"][:n])))
         sched = DDIMSchedule.create(ld.schedule, ddim_steps)
-        zs, _ = ddim_sample(
-            ld.denoise_fn(), rng, z.shape, sched,
+
+    if sample and have_ctx:
+        log_every = max(ddim_steps // 8, 1) if (
+            plot_denoise_rows or plot_progressive_rows) else 0
+        rng, srng = jax.random.split(rng)
+        zs, inter = ddim_sample(
+            ld.denoise_fn(), srng, z.shape, sched,
             {"c_crossattn": ctx}, {"c_crossattn": uc}, cfg_scale=cfg_scale,
+            log_every_t=log_every,
         )
         out["samples"] = np.asarray(ld.decode_first_stage(zs))
+        if plot_denoise_rows:
+            out["denoise_row"] = denoise_row_grid(
+                np.asarray(inter["x_inter"]),
+                decode_fn=ld.decode_first_stage)
+        if plot_progressive_rows:
+            out["progressive_row"] = denoise_row_grid(
+                np.asarray(inter["pred_x0"]),
+                decode_fn=ld.decode_first_stage)
+
+    if inpaint and have_ctx:
+        # center-square hole in latent space (reference ddpm.py:1566-1588);
+        # mask=1 marks kept regions
+        b, h, w = z.shape[0], z.shape[1], z.shape[2]
+        mask = np.ones((b, h, w, 1), np.float32)
+        mask[:, h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 0.0
+        mask = jnp.asarray(mask)
+        rng, r_in, r_out = jax.random.split(rng, 3)
+        z_in, _ = ddim_sample(
+            ld.denoise_fn(), r_in, z.shape, sched,
+            {"c_crossattn": ctx}, {"c_crossattn": uc}, cfg_scale=cfg_scale,
+            mask=mask, x0=z, schedule=ld.schedule,
+        )
+        out["samples_inpainting"] = np.asarray(ld.decode_first_stage(z_in))
+        out["mask"] = np.asarray(mask) * 2.0 - 1.0  # to_uint8 expects [-1,1]
+        z_out, _ = ddim_sample(
+            ld.denoise_fn(), r_out, z.shape, sched,
+            {"c_crossattn": ctx}, {"c_crossattn": uc}, cfg_scale=cfg_scale,
+            mask=1.0 - mask, x0=z, schedule=ld.schedule,
+        )
+        out["samples_outpainting"] = np.asarray(ld.decode_first_stage(z_out))
     return out

@@ -42,16 +42,10 @@ def _randomize(torch, model, seed=0, scale=0.1):
     return model
 
 
-def test_midas_ingest_key_schema():
-    """dpt_hybrid key-schema coverage: a synthetic state dict with the
-    released checkpoint's exact key names (derived from the reference
-    module code — timm is unavailable here so no forward oracle) must
-    ingest with zero missing/unexpected keys, incl. pos-embed grid resize.
-    """
-    from fgdm_tpu.annotators.midas import DPTHybrid
-    from fgdm_tpu.checkpoint.annotator_ingest import ingest_midas
-
-    rng = np.random.default_rng(0)
+def _midas_synthetic_sd(rng):
+    """Full dpt_hybrid state dict with the released checkpoint's key names
+    (stem/ViT names follow timm's vit_base_resnet50_384; neck/head names are
+    the reference's own modules, oracle-verified below)."""
 
     def t(*shape):
         return rng.standard_normal(shape).astype(np.float32)
@@ -123,6 +117,17 @@ def test_midas_ingest_key_schema():
     sd["scratch.output_conv.2.bias"] = t(32)
     sd["scratch.output_conv.4.weight"] = t(1, 32, 1, 1)
     sd["scratch.output_conv.4.bias"] = t(1)
+    return sd
+
+
+def test_midas_ingest_key_schema():
+    """dpt_hybrid key-schema coverage: a synthetic state dict with the
+    released checkpoint's exact key names must ingest with zero
+    missing/unexpected keys, incl. pos-embed grid resize."""
+    from fgdm_tpu.annotators.midas import DPTHybrid
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_midas
+
+    sd = _midas_synthetic_sd(np.random.default_rng(0))
 
     fm = DPTHybrid()
     expect = jax.eval_shape(
@@ -138,6 +143,127 @@ def test_midas_ingest_key_schema():
                    jnp.zeros((1, 128, 128, 3)))
     assert out.shape == (1, 128, 128)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_midas_neck_forward_oracle():
+    """MiDaS forward parity against the reference's OWN torch modules for
+    everything after the timm-bound ViT backbone (VERDICT r2 #3): ProjectReadout
+    + act_postprocess reassembly (`vit.py:31-53,429-460`), scratch projections
+    (`blocks.py:49-74`), RefineNet fusion (`blocks.py:291-342`), and the
+    DPTDepthModel head (`dpt_depth.py:88-101`) — fed identical synthetic
+    backbone taps through both stacks.  Also proves the ingest mapper
+    consumes these modules' real state-dict key names (they land in the
+    synthetic dict by update(); any drift would show as unexpected keys).
+    Remaining unverified: the timm ResNetV2 stem + ViT blocks themselves
+    (standard timm layouts, schema-tested above)."""
+    import types
+
+    torch = _torch()
+    # the midas package import chain needs torchvision (api.py:7) and timm
+    # (vit.py:3); stub both — create_model is only touched when building a
+    # real backbone, which this test bypasses
+    _stub_uniformer_deps(torch)
+    if "timm" not in sys.modules:
+        m = types.ModuleType("timm")
+        m.create_model = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("timm stubbed"))
+        sys.modules["timm"] = m
+    # api.py imports `controlnet.annotator.util` (absolute)
+    ref_root = os.path.dirname(REF_CN)
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    from annotator.midas.midas import blocks as ref_blocks
+    from annotator.midas.midas.vit import ProjectReadout, Transpose
+
+    from fgdm_tpu.annotators.midas import DPTHybrid
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_midas
+
+    nn = torch.nn
+    hh = ww = 4  # 64² input → 4² ViT grid
+
+    def fusion():
+        return ref_blocks.FeatureFusionBlock_custom(
+            256, nn.ReLU(False), deconv=False, bn=False, expand=False,
+            align_corners=True)
+
+    class Holder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pretrained = nn.Module()
+            self.pretrained.act_postprocess3 = nn.Sequential(
+                ProjectReadout(768, 1), Transpose(1, 2),
+                nn.Unflatten(2, torch.Size([hh, ww])),
+                nn.Conv2d(768, 768, 1))
+            self.pretrained.act_postprocess4 = nn.Sequential(
+                ProjectReadout(768, 1), Transpose(1, 2),
+                nn.Unflatten(2, torch.Size([hh, ww])),
+                nn.Conv2d(768, 768, 1),
+                nn.Conv2d(768, 768, 3, stride=2, padding=1))
+            self.scratch = ref_blocks._make_scratch(
+                [256, 512, 768, 768], 256, groups=1, expand=False)
+            self.scratch.refinenet1 = fusion()
+            self.scratch.refinenet2 = fusion()
+            self.scratch.refinenet3 = fusion()
+            self.scratch.refinenet4 = fusion()
+            # DPTDepthModel head, dpt_depth.py:92-101 (non_negative=True)
+            self.scratch.output_conv = nn.Sequential(
+                nn.Conv2d(256, 128, 3, stride=1, padding=1),
+                ref_blocks.Interpolate(scale_factor=2, mode="bilinear",
+                                       align_corners=True),
+                nn.Conv2d(128, 32, 3, stride=1, padding=1),
+                nn.ReLU(True),
+                nn.Conv2d(32, 1, 1, stride=1, padding=0),
+                nn.ReLU(True),
+                nn.Identity(),
+            )
+
+        def forward(self, f4, f8, tok3, tok4):
+            # forward_vit tail (vit.py:66-95) + DPT.forward (dpt_depth.py:71-84)
+            p3 = self.pretrained.act_postprocess3
+            p4 = self.pretrained.act_postprocess4
+            unflat = nn.Unflatten(2, torch.Size([hh, ww]))
+            l3 = p3[3:](unflat(p3[0:2](tok3)))
+            l4 = p4[3:](unflat(p4[0:2](tok4)))
+            s = self.scratch
+            r1, r2 = s.layer1_rn(f4), s.layer2_rn(f8)
+            r3, r4 = s.layer3_rn(l3), s.layer4_rn(l4)
+            path4 = s.refinenet4(r4)
+            path3 = s.refinenet3(path4, r3)
+            path2 = s.refinenet2(path3, r2)
+            path1 = s.refinenet1(path2, r1)
+            return s.output_conv(path1).squeeze(1)
+
+    # scale 0.02: outputs stay O(1-100) through the ~14-conv stack, so f32
+    # accumulation-order noise stays below the tolerance (scale 0.1 amplifies
+    # to ~1e7 where ReLU-boundary elements show ~1% relative drift)
+    holder = _randomize(torch, Holder(), seed=3, scale=0.02)
+    g = torch.Generator().manual_seed(7)
+    f4 = torch.randn(1, 256, 16, 16, generator=g) * 0.5
+    f8 = torch.randn(1, 512, 8, 8, generator=g) * 0.5
+    tok3 = torch.randn(1, 1 + hh * ww, 768, generator=g) * 0.5
+    tok4 = torch.randn(1, 1 + hh * ww, 768, generator=g) * 0.5
+    with torch.no_grad():
+        ref = holder(f4, f8, tok3, tok4).numpy()
+
+    # splice the real modules' tensors into the full synthetic checkpoint;
+    # key-name drift would surface as unexpected/missing in the ingest
+    sd = _midas_synthetic_sd(np.random.default_rng(0))
+    sd.update({k: v.numpy() for k, v in holder.state_dict().items()})
+    fm = DPTHybrid()
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+    params, missing, unexpected = ingest_midas(sd, expect=expect)
+    assert missing == [] and unexpected == [], (missing[:5], unexpected[:5])
+
+    taps = (
+        jnp.asarray(f4.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(f8.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(tok3.numpy()),
+        jnp.asarray(tok4.numpy()),
+    )
+    ours = fm.apply(jax.tree.map(jnp.asarray, params), None, taps=taps)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
 
 
 def _stub_uniformer_deps(torch):

@@ -91,3 +91,52 @@ def test_step_timer_and_memstats():
     assert dt > 0 and t.mean > 0
     stats = device_memory_stats()
     assert "bytes_in_use_mib" in stats
+
+
+def test_log_images_reference_key_set():
+    """log_images with every flag on must produce the reference's grid set
+    (ddpm.py:1466-1599): inputs/reconstruction/conditioning/diffusion_row/
+    samples/denoise_row/progressive_row/inpaint+outpaint+mask."""
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.unet import UNetModel
+    from fgdm_tpu.train.metrics import log_images
+
+    rng = jax.random.PRNGKey(0)
+    unet = UNetModel(model_channels=32, num_heads=4, context_dim=64,
+                     channel_mult=(1, 2), attention_resolutions=(1, 2),
+                     num_res_blocks=1, dtype=jnp.float32)
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                        resolution=16, z_channels=4, embed_dim=4,
+                        dtype=jnp.float32)
+    clip = CLIPTextEncoder(vocab_size=128, embed_dim=64, num_layers=1,
+                           num_heads=4)
+    ld = LatentDiffusion.create(unet, vae, clip, rng, latent_size=8)
+    nr = np.random.default_rng(0)
+    batch = {
+        "image": nr.standard_normal((2, 16, 16, 3)).astype(np.float32) * 0.1,
+        "input_ids": nr.integers(0, 128, (2, 77)).astype(np.int32),
+        "captions": ["a cat", "a dog"],
+    }
+    out = log_images(ld, batch, jax.random.PRNGKey(1), n=2, ddim_steps=4,
+                     inpaint=True, plot_denoise_rows=True,
+                     plot_progressive_rows=True, plot_diffusion_rows=True,
+                     n_diffusion_steps=3)
+    expect = {"inputs", "reconstruction", "conditioning", "diffusion_row",
+              "samples", "denoise_row", "progressive_row",
+              "samples_inpainting", "mask", "samples_outpainting"}
+    assert expect <= set(out), sorted(expect - set(out))
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v, np.float64)).all(), k
+    # row grids arrive pre-assembled (uint8 grid images)
+    assert out["denoise_row"].ndim == 3
+    assert out["diffusion_row"].ndim == 3
+    # the ImageLogger must accept the full dict (grids + batches) unchanged
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        logger = ImageLogger(d, batch_frequency=1)
+        logger.log(0, out)
+        files = os.listdir(os.path.join(d, "images"))
+        assert len(files) == len(out)

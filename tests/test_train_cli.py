@@ -166,3 +166,25 @@ def test_train_cli_validate_only(workspace, monkeypatch):
     from fgdm_tpu.cli import train as train_cli
 
     train_cli.main(["-b", str(cfg_path), "-l", str(root / "logs2")])
+
+
+def test_train_cli_image_logger(workspace, monkeypatch):
+    """--img_log_freq wires the reference ImageLogger callback: diagnostic
+    grids land under <run>/images at the requested cadence."""
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    from fgdm_tpu.cli import train as train_cli
+
+    logdir = root / "logs_imglog"
+    train_cli.main([
+        "-b", str(cfg_path), "-t", "--max_steps", "2",
+        "-l", str(logdir), "-n", "imglog", "--seed", "7",
+        "--img_log_freq", "2",
+    ])
+    run = next(logdir.iterdir())
+    pngs = list((run / "images").glob("*.png"))
+    keys = {p.name.rsplit("_gs-", 1)[0] for p in pngs}
+    # full reference diagnostic set from one logging event at step 0
+    assert {"inputs", "reconstruction", "samples", "samples_inpainting",
+            "samples_outpainting", "mask", "denoise_row", "diffusion_row",
+            "progressive_row"} <= keys, sorted(keys)
