@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 # Persistent compilation cache: the chain program is large; cache compiles
 # across bench runs.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_CACHE = os.environ.get(
+    "FGDM_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

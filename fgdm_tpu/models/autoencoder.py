@@ -67,6 +67,7 @@ class VaeAttnBlock(nn.Module):
 
     in_channels: int
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None  # context parallelism (parallel/context)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -78,10 +79,19 @@ class VaeAttnBlock(nn.Module):
         q = q.reshape(b, hh * ww, c).astype(jnp.float32)
         k = k.reshape(b, hh * ww, c).astype(jnp.float32)
         v = v.reshape(b, hh * ww, c)
-        attn = jax.nn.softmax(
-            jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5), axis=-1
-        )
-        h = jnp.einsum("bij,bjc->bic", attn.astype(v.dtype), v).reshape(b, hh, ww, c)
+        if self.seq_axis is not None:
+            from fgdm_tpu.parallel.ring_attention import context_ring_attention
+
+            h = context_ring_attention(
+                q[:, None], k[:, None], v[:, None].astype(jnp.float32),
+                c ** -0.5, self.seq_axis)[:, 0].astype(v.dtype)
+            h = h.reshape(b, hh, ww, c)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5), axis=-1
+            )
+            h = jnp.einsum(
+                "bij,bjc->bic", attn.astype(v.dtype), v).reshape(b, hh, ww, c)
         h = Conv2d(c, kernel_size=1, padding=0, dtype=self.dtype, name="proj_out")(h)
         return x + h
 
@@ -123,6 +133,7 @@ class Encoder(nn.Module):
     double_z: bool = True
     fused_norm: bool = False
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None  # context parallelism (parallel/context)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -141,7 +152,7 @@ class Encoder(nn.Module):
                 )(h)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(block_in, dtype=self.dtype,
+                    h = VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
                                      name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_resolutions - 1:
                 h = VaeDownsample(dtype=self.dtype,
@@ -149,7 +160,8 @@ class Encoder(nn.Module):
                 curr_res //= 2
         h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
                            dtype=self.dtype, name="mid_block_1")(h)
-        h = VaeAttnBlock(block_in, dtype=self.dtype, name="mid_attn_1")(h)
+        h = VaeAttnBlock(block_in, dtype=self.dtype,
+                         seq_axis=self.seq_axis, name="mid_attn_1")(h)
         h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
                            dtype=self.dtype, name="mid_block_2")(h)
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
@@ -169,6 +181,7 @@ class Decoder(nn.Module):
     tanh_out: bool = False
     fused_norm: bool = False
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None  # context parallelism (parallel/context)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -178,7 +191,8 @@ class Decoder(nn.Module):
         h = Conv2d(block_in, kernel_size=3, dtype=self.dtype, name="conv_in")(z)
         h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
                            dtype=self.dtype, name="mid_block_1")(h)
-        h = VaeAttnBlock(block_in, dtype=self.dtype, name="mid_attn_1")(h)
+        h = VaeAttnBlock(block_in, dtype=self.dtype,
+                         seq_axis=self.seq_axis, name="mid_attn_1")(h)
         h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
                            dtype=self.dtype, name="mid_block_2")(h)
         for i_level in reversed(range(num_resolutions)):
@@ -191,7 +205,7 @@ class Decoder(nn.Module):
                 )(h)
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(block_in, dtype=self.dtype,
+                    h = VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
                                      name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = VaeUpsample(dtype=self.dtype,
@@ -252,6 +266,7 @@ class AutoencoderKL(nn.Module):
     double_z: bool = True
     fused_norm: bool = False
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None  # context parallelism (parallel/context)
 
     def setup(self):
         self.encoder = Encoder(
@@ -259,13 +274,14 @@ class AutoencoderKL(nn.Module):
             attn_resolutions=self.attn_resolutions, in_channels=self.in_channels,
             resolution=self.resolution, z_channels=self.z_channels,
             double_z=self.double_z, fused_norm=self.fused_norm,
-            dtype=self.dtype,
+            dtype=self.dtype, seq_axis=self.seq_axis,
         )
         self.decoder = Decoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             attn_resolutions=self.attn_resolutions, out_ch=self.out_ch,
             resolution=self.resolution, z_channels=self.z_channels,
             fused_norm=self.fused_norm, dtype=self.dtype,
+            seq_axis=self.seq_axis,
         )
         self.quant_conv = Conv2d(2 * self.embed_dim, kernel_size=1, padding=0,
                                  dtype=self.dtype, name="quant_conv")

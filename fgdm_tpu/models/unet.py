@@ -63,6 +63,11 @@ class UNetModel(nn.Module):
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
     fused_norm_silu: bool = False   # Pallas GroupNorm+SiLU in ResBlocks
+    # context parallelism: mesh axis the spatial/token dim is sharded over
+    # (parallel/context.py) — self-attention rings over it; convs/norms are
+    # GSPMD-partitioned by XLA.  Incompatible with fused_norm_silu (custom
+    # calls don't partition).
+    seq_axis: Optional[str] = None
 
     def _heads_for(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
@@ -150,7 +155,7 @@ class UNetModel(nn.Module):
             st = st_cls(
                 in_channels=ch, n_heads=n_heads, d_head=d_head,
                 depth=self.transformer_depth, context_dim=self.context_dim,
-                dtype=self.dtype, name=name,
+                dtype=self.dtype, seq_axis=self.seq_axis, name=name,
             )
             place = {"i": "down", "m": "mid", "o": "up"}[prefix[0]]
             editor = (

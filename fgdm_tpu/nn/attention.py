@@ -40,6 +40,10 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: Dtype = jnp.float32
+    # context parallelism: mesh axis the token dim is sharded over.  Only
+    # self-attention rings (cross-attention K/V is 77 replicated tokens —
+    # the plain einsum is already local under GSPMD).
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -95,6 +99,10 @@ class CrossAttention(nn.Module):
                 probs = jnp.mean(sim, axis=1)
         elif capture:
             out, probs = attention_with_scores(qh, kh, vh, scale)
+        elif self.seq_axis is not None and not is_cross:
+            from fgdm_tpu.parallel.ring_attention import context_ring_attention
+
+            out = context_ring_attention(qh, kh, vh, scale, self.seq_axis)
         else:
             out = multihead_attention(qh, kh, vh, scale)
         out = merge(out)
@@ -142,6 +150,7 @@ class BasicTransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     gated_ff: bool = True
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -154,7 +163,7 @@ class BasicTransformerBlock(nn.Module):
     ):
         y1, self_probs = CrossAttention(
             self.dim, heads=self.n_heads, dim_head=self.d_head,
-            dtype=self.dtype, name="attn1",
+            dtype=self.dtype, seq_axis=self.seq_axis, name="attn1",
         )(LayerNorm32(name="norm1")(x), capture=capture,
           attn_editor=attn_editor)
         x = y1 + x
@@ -177,6 +186,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     context_dim: Optional[int] = None
     dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -197,7 +207,8 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             x, probs = BasicTransformerBlock(
                 inner, self.n_heads, self.d_head, context_dim=self.context_dim,
-                dtype=self.dtype, name=f"transformer_blocks_{d}",
+                dtype=self.dtype, seq_axis=self.seq_axis,
+                name=f"transformer_blocks_{d}",
             )(x, context=context, adapt_q=adapt_q, capture=capture,
               attn_editor=attn_editor)
         x = x.reshape(b, hh, ww, inner)

@@ -1,0 +1,130 @@
+"""Context parallelism: shard the spatial/token axis of one sample over
+the mesh.
+
+This is the TPU-native replacement for the reference's fold/unfold
+machinery (`/root/reference/ldm/models/diffusion/ddpm.py:697-763` —
+``split_input_params`` patch-stitching): generation beyond the single-chip
+flash-attention budget shards H over a ``seq`` mesh axis instead of
+processing overlapping tiles.  Division of labor:
+
+* convs / GroupNorms / resizes — GSPMD: XLA partitions them over the
+  sharded H axis and inserts halo exchanges / psums itself;
+* self-attention (the O(N²) part) — ``parallel.ring_attention``: a
+  shard_map island rotating K/V shards around the ring with ppermute, so
+  no device ever holds the full score matrix or an all-gathered K/V;
+* cross-attention (77 replicated text tokens) — local einsum, no
+  communication.
+
+Pallas kernels (flash attention, fused GroupNorm) are custom calls XLA
+cannot partition, so the context-parallel clone disables them; ring
+attention replaces flash on the sharded axis.
+
+Usage:
+    mesh = context_mesh()                       # all devices on axis 'seq'
+    ld_cp = context_parallel_pipeline(ld, mesh) # seq_axis-threaded clone
+    img = sample_context_parallel(ld_cp, mesh, rng, ctx, uc, (2048, 2048))
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fgdm_tpu.parallel.ring_attention import set_context_mesh
+
+AXIS = "seq"
+
+
+def context_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def context_parallel_pipeline(ld, mesh: Mesh, axis: str = AXIS):
+    """Clone a LatentDiffusion/ControlLDM for context-parallel execution:
+    ``seq_axis`` threaded into every attention module, Pallas fused kernels
+    off.  Registers ``mesh`` for the ring-attention islands."""
+    set_context_mesh(mesh)
+    updates = {"seq_axis": axis}
+    if getattr(ld.unet_def, "fused_norm_silu", False):
+        updates["fused_norm_silu"] = False
+    unet = ld.unet_def.clone(**updates)
+    vae_updates = {"seq_axis": axis}
+    if getattr(ld.vae_def, "fused_norm", False):
+        vae_updates["fused_norm"] = False
+    vae = ld.vae_def.clone(**vae_updates)
+    new = ld.replace(unet_def=unet, vae_def=vae)
+    if getattr(ld, "control_def", None) is not None:
+        new = new.replace(control_def=ld.control_def.clone(**updates))
+    return new
+
+
+def _h_sharding(mesh: Mesh, axis: str) -> NamedSharding:
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
+def sample_context_parallel(
+    ld,
+    mesh: Mesh,
+    rng: jax.Array,
+    cond_ctx: jnp.ndarray,
+    uncond_ctx: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    num_steps: int = 50,
+    cfg_scale: float = 7.5,
+    axis: str = AXIS,
+    decode: bool = True,
+) -> jnp.ndarray:
+    """DDIM-sample one batch at ``image_hw`` with H sharded over the mesh.
+
+    ``ld`` must be a :func:`context_parallel_pipeline` clone.  The latent H
+    (image_hw[0]//8) must divide by the mesh size with enough rows per
+    device for the deepest UNet level.  Returns the decoded image (or the
+    latent when ``decode=False``), still H-sharded.
+    """
+    from fgdm_tpu.core.schedules import DDIMSchedule
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    b = cond_ctx.shape[0]
+    lat_hw = (image_hw[0] // 8, image_hw[1] // 8)
+    n_dev = mesh.devices.size
+    assert lat_hw[0] % n_dev == 0, (
+        f"latent H {lat_hw[0]} must divide over the {n_dev}-device seq axis")
+    shape = (b, lat_hw[0], lat_hw[1], ld.unet_def.in_channels)
+    sched = DDIMSchedule.create(ld.schedule, num_steps)
+
+    rng, init_rng = jax.random.split(rng)
+    # seed the GSPMD propagation: x_T arrives H-sharded, every step's carry
+    # keeps the sharding, and XLA partitions the UNet around it
+    x_T = jax.device_put(
+        jax.random.normal(init_rng, shape, jnp.float32),
+        _h_sharding(mesh, axis))
+
+    @jax.jit
+    def run(ld, rng, c, uc, x_T):
+        z, _ = ddim_sample(
+            ld.denoise_fn(), rng, shape, sched,
+            {"c_crossattn": c}, {"c_crossattn": uc},
+            cfg_scale=cfg_scale, x_T=x_T)
+        if decode:
+            return ld.decode_first_stage(z)
+        return z
+
+    return run(ld, rng, cond_ctx, uncond_ctx, x_T)
+
+
+def decode_context_parallel(ld, mesh: Mesh, z: jnp.ndarray,
+                            axis: str = AXIS) -> jnp.ndarray:
+    """VAE-decode an H-sharded latent over the mesh (large-image decode
+    without the single-chip tiling of ``sampling/tiled.py``)."""
+    z = jax.device_put(z, _h_sharding(mesh, axis))
+
+    @jax.jit
+    def run(ld, z):
+        return ld.decode_first_stage(z)
+
+    return run(ld, z)

@@ -79,3 +79,40 @@ def ring_attention(
         check_rep=False,
     )
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Context-parallel execution inside a jitted model
+# ---------------------------------------------------------------------------
+#
+# The attention modules (`nn/attention.py` CrossAttention, the VAE attention
+# block) route their self-attention through `context_ring_attention` when
+# their static ``seq_axis`` is set.  The mesh can't travel through flax
+# module trees cleanly, so the sampler wrapper registers it here before
+# tracing (`parallel/context.py:context_parallel_pipeline`).
+
+_CONTEXT_MESH: Optional[Mesh] = None
+
+
+def set_context_mesh(mesh: Optional[Mesh]) -> None:
+    global _CONTEXT_MESH
+    _CONTEXT_MESH = mesh
+
+
+def get_context_mesh() -> Mesh:
+    if _CONTEXT_MESH is None:
+        raise RuntimeError(
+            "seq_axis is set on an attention module but no context mesh is "
+            "registered — build the model through "
+            "parallel.context.context_parallel_pipeline (or call "
+            "set_context_mesh) before tracing")
+    return _CONTEXT_MESH
+
+
+def context_ring_attention(q, k, v, scale: float, axis: str) -> jnp.ndarray:
+    """Ring self-attention for use *inside* a jitted model: the surrounding
+    program is GSPMD-partitioned (convs/norms get automatic halo/psum
+    handling from XLA); this shard_map island keeps the N² attention from
+    ever materializing an unsharded score matrix or an all-gathered K/V."""
+    return ring_attention(q, k, v, get_context_mesh(), axis=axis,
+                          scale=scale)

@@ -24,8 +24,12 @@ import numpy as np
 from flax import traverse_util
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COL_PARALLEL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1")
-ROW_PARALLEL = ("to_out", "out_proj", "fc2")
+COL_PARALLEL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1",
+                # ResBlock time-emb projection (output pairs with the
+                # channel-sharded conv activations) and the UNet time MLP
+                "emb_proj", "time_embed_0", "time_embed_2")
+ROW_PARALLEL = ("to_out", "out_proj", "fc2",
+                "net_2")  # FF output projection (GEGLU pair of net_0)
 COL_PARALLEL_GEGLU = ("net_0",)
 MIN_SHARD_DIM = 256  # don't shard tiny tensors
 

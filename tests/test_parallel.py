@@ -87,3 +87,30 @@ def test_maybe_initialize_distributed(monkeypatch):
     assert pm.maybe_initialize_distributed() is True
     assert calls == {"coordinator_address": "10.0.0.1:1234",
                      "num_processes": 4, "process_id": 2}
+
+
+def test_tp_byte_coverage_sd_unet():
+    """≥99% of the SD-1.x UNet's parameter BYTES shard over 'model'
+    (VERDICT r2 #9: the r2 rule table left net_2/emb_proj/time_embed
+    replicated — 91.7% — and the dryrun's 101/286 param *count* under-
+    reported actual coverage)."""
+    import numpy as np
+
+    from fgdm_tpu.checkpoint.loader import sd_unet
+    from fgdm_tpu.parallel.tp import _split_path
+
+    u = sd_unet(dtype=jnp.float32)
+    params = jax.eval_shape(lambda: u.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768))))
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    for n_model in (2, 4):
+        tot = sh = 0
+        for p, v in flat.items():
+            b = int(np.prod(v.shape))
+            tot += b
+            if tp_spec(_split_path(p), tuple(v.shape), n_model) != P():
+                sh += b
+        assert sh / tot > 0.99, f"model={n_model}: {sh/tot:.1%}"
