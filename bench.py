@@ -72,11 +72,13 @@ def build_pipeline():
     from fgdm_tpu.core.schedules import DiffusionSchedule
 
     dtype = jnp.bfloat16
-    # fused Pallas GroupNorm+SiLU: measured +3.8% on the f2 stage
-    unet = UNetModel(dtype=dtype, fused_norm_silu=True)  # FG-DM UNet + adapter
-    cn_unet = UNetModel(dtype=dtype, use_adapter=False, fused_norm_silu=True)
-    cn = ControlNet(dtype=dtype, fused_norm_silu=True)
-    vae = AutoencoderKL(dtype=dtype, fused_norm=True)
+    # fused Pallas GroupNorm+SiLU: measured +3.8% on the f2 stage.
+    # FGDM_BENCH_NO_FUSED_GN=1 reverts to XLA GroupNorm (compile-cost A/B).
+    fgn = os.environ.get("FGDM_BENCH_NO_FUSED_GN", "0") != "1"
+    unet = UNetModel(dtype=dtype, fused_norm_silu=fgn)  # FG-DM UNet + adapter
+    cn_unet = UNetModel(dtype=dtype, use_adapter=False, fused_norm_silu=fgn)
+    cn = ControlNet(dtype=dtype, fused_norm_silu=fgn)
+    vae = AutoencoderKL(dtype=dtype, fused_norm=fgn)
     clip = CLIPTextEncoder(dtype=dtype)
     sched = DiffusionSchedule.create(
         1000, "linear", linear_start=0.00085, linear_end=0.0120

@@ -12,6 +12,17 @@ crash on multiple big compiles per process):
     python tools/compile_probe.py f2             # ControlNet stage + decode
     python tools/compile_probe.py staged-run     # all 3 stages, timed e2e
 
+Interior-f2 isolation (r2 probes measured f1=30s hint=11s f2=869s — the
+wall is inside f2):
+
+    python tools/compile_probe.py f2sample       # 20-step sampler, no decode
+    python tools/compile_probe.py f2decode       # VAE decode 64x64 -> 512x512
+    python tools/compile_probe.py f2body         # ONE fused-CFG model forward
+
+Any mode takes suffixes that flip kernels off before import:
+``-noflash`` (XLA attention), ``-nogn`` (XLA GroupNorm).  e.g.
+``f2sample-noflash``.
+
 Each mode prints one JSON line.  Cache dir comes from FGDM_CACHE_DIR
 (default /tmp/fgdm_cc_<mode>; point every stage at the SAME dir, then
 staged-run measures the warm-start + steady-state throughput).
@@ -24,11 +35,15 @@ import time
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "fused"
 os.environ.setdefault("FGDM_CACHE_DIR", f"/tmp/fgdm_cc_{MODE}")
+if "-noflash" in MODE:
+    os.environ["FGDM_DISABLE_FLASH"] = "1"
+if "-nogn" in MODE:
+    os.environ["FGDM_BENCH_NO_FUSED_GN"] = "1"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-if MODE.endswith("-lowopt"):
+if "-lowopt" in MODE:
     jax.config.update("jax_exec_time_optimization_effort", -1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,6 +106,47 @@ def main():
         h = jnp.zeros((BATCH, 512, 512, 3))
         t0 = time.perf_counter()
         f2(cldm, rng, h).block_until_ready()
+        out = {"mode": MODE, "compile_plus_first_s":
+               round(time.perf_counter() - t0, 1)}
+
+    elif base == "f2sample":
+        @jax.jit
+        def f2s(cldm, rng, h):
+            return sample_image_factor(cldm, rng, h, ctx, ctx,
+                                       num_steps=20, cfg_scale=9.0)
+
+        h = jnp.zeros((BATCH, 512, 512, 3))
+        t0 = time.perf_counter()
+        f2s(cldm, rng, h).block_until_ready()
+        out = {"mode": MODE, "compile_plus_first_s":
+               round(time.perf_counter() - t0, 1)}
+
+    elif base == "f2decode":
+        @jax.jit
+        def dec(cldm, z):
+            return cldm.decode_first_stage(z)
+
+        z = jnp.zeros((BATCH, 64, 64, 4))
+        t0 = time.perf_counter()
+        dec(cldm, z).block_until_ready()
+        out = {"mode": MODE, "compile_plus_first_s":
+               round(time.perf_counter() - t0, 1)}
+
+    elif base == "f2body":
+        # ONE denoiser call at CFG batch (2B) — the scan body minus the scan.
+        # denoise_fn is built INSIDE the jit from the traced cldm (closure
+        # over a concrete pytree would bake params in as HLO constants).
+        @jax.jit
+        def body(cldm, x, t):
+            h = jnp.zeros((2 * BATCH, 512, 512, 3))
+            c2 = jnp.concatenate([ctx, ctx], 0)
+            return cldm.denoise_fn()(
+                x, t, {"c_crossattn": c2, "c_concat": h})
+
+        x = jnp.zeros((2 * BATCH, 64, 64, 4))
+        tt = jnp.zeros((2 * BATCH,), jnp.int32)
+        t0 = time.perf_counter()
+        body(cldm, x, tt).block_until_ready()
         out = {"mode": MODE, "compile_plus_first_s":
                round(time.perf_counter() - t0, 1)}
 
