@@ -66,23 +66,22 @@ def teacher_attention_maps(
         t,
         nearest_upsample_2x_latent(noise),
     )
-    _, t_self_raw, t_cross_raw = ld.apply_model(
-        x2, t, cond, adapter_on=False, capture=True
-    )
-    # Pool each map the moment it exists, THEN average across layers —
-    # exactly equal to get_token_maps+pool-after (both are linear), but the
-    # layer-mean fusion otherwise keeps every raw [B, (2r)², (2r)²] teacher
-    # map live at once (5×128MB at 256² training; the pooled form is 16×
-    # smaller and each raw map can be freed right after its pool).
+    # Reduced capture: only the 2·resn self layers emit maps, already
+    # pooled 4× on both token axes inside the capture einsum (pooling a
+    # bilinear form commutes onto q/k — see attention_with_scores).  The
+    # raw [B, (2r)², (2r)²] teacher maps (5×67 MB/sample at 256² training)
+    # never exist; this step used to pool each one after materializing it.
+    from fgdm_tpu.nn.attention import CaptureSpec
     from fgdm_tpu.utils.attention_maps import _resize_query_grid
 
     r2 = 2 * resn
+    _, t_self_raw, t_cross_raw = ld.apply_model(
+        x2, t, cond, adapter_on=False,
+        capture=CaptureSpec(self_n=r2 * r2, self_pool=4),
+    )
     self_sum = None
     n_self = 0
-    for m in t_self_raw.values():
-        if int(round(m.shape[1] ** 0.5)) != r2:
-            continue
-        m = avg_pool_map_2x(m, times=2)         # [B, resn², resn²]
+    for m in t_self_raw.values():               # already [B, resn², resn²]
         self_sum = m if self_sum is None else self_sum + m
         n_self += 1
     if self_sum is None:
@@ -143,8 +142,14 @@ def diffusion_loss(
         tb_cap = trunc_bs or min(max(2, b // 10), 8)
         tb_cap = min(tb_cap, b)
         cond_tb_ = jax.tree.map(lambda c: c[:tb_cap], cond)
+        from fgdm_tpu.nn.attention import CaptureSpec
+
+        resn_cap = x_start.shape[1]
         out_tb, selfattn, crossattn = ld.apply_model(
-            x_noisy[:tb_cap], t[:tb_cap], cond_tb_, capture=True
+            x_noisy[:tb_cap], t[:tb_cap], cond_tb_,
+            # only the resn-token self layers feed the loss; skip the
+            # score einsums (and their VJP residuals) everywhere else
+            capture=CaptureSpec(self_n=resn_cap * resn_cap),
         )
         if tb_cap < b:
             cond_rest = jax.tree.map(lambda c: c[tb_cap:], cond)

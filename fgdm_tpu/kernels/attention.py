@@ -71,8 +71,8 @@ def _xla_attention(q, k, v, scale):
     return out
 
 
-def attention_with_scores(q, k, v, scale):
-    """Returns (out [B,H,Nq,D], head-averaged scores [B,Nq,Nk] float32).
+def attention_with_scores(q, k, v, scale, pool_kq=1):
+    """Returns (out [B,H,Nq,D], head-averaged scores [B,Nq/p,Nk/p] float32).
 
     The averaged *pre-softmax* scores mirror the reference's
     ``reshape_batch_dim_to_heads_and_average(sim)`` capture output
@@ -83,6 +83,16 @@ def attention_with_scores(q, k, v, scale):
     materializes the per-head [B,H,N,N] score tensor; the attention output
     itself goes through ``multihead_attention`` (flash on TPU).  Capture
     steps now cost ~the same as fast steps plus one [B,Nq,Nk] map.
+
+    ``pool_kq`` > 1 emits the scores already average-pooled by that factor
+    over flat windows on *both* token axes.  Pooling a bilinear form is
+    linear: pool_w(QKᵀ)[I,J] = (w⁻²ΣᵢΣⱼ qᵢ·kⱼ) = (w⁻¹Σᵢqᵢ)·(w⁻¹Σⱼkⱼ) =
+    pool_w(Q)·pool_w(K)ᵀ — bit-for-bit the map the consumer would get from
+    ``avg_pool_map_2x`` on the raw scores (same flat-window semantics as
+    the reference's ``downsample1`` AvgPool2d, ddpm.py:130,1813), but the
+    pooling moves to the tiny O(N·d) q/k tensors: the einsum output shrinks
+    p², so the 67 MB-per-sample raw teacher maps at N=4096 never touch HBM
+    and the capture einsum does p² fewer FLOPs.
     """
     h = q.shape[1]
     out = multihead_attention(q, k, v, scale)
@@ -90,8 +100,16 @@ def attention_with_scores(q, k, v, scale):
     # materializes a second full [B,Nq,Nk] buffer (128MB per captured layer
     # at N=4096) — scaling the tiny q tensor is free
     qs = q.astype(jnp.float32) * (float(scale) / h)
+    ks = k
+    if pool_kq > 1:
+        b, hh, nq, d = qs.shape
+        nk = k.shape[2]
+        assert nq % pool_kq == 0 and nk % pool_kq == 0, (nq, nk, pool_kq)
+        qs = qs.reshape(b, hh, nq // pool_kq, pool_kq, d).mean(axis=3)
+        ks = k.astype(jnp.float32).reshape(
+            b, hh, nk // pool_kq, pool_kq, d).mean(axis=3)
     scores = jnp.einsum(
-        "bhid,bhjd->bij", qs, k, preferred_element_type=jnp.float32
+        "bhid,bhjd->bij", qs, ks, preferred_element_type=jnp.float32
     )
     return out, scores
 

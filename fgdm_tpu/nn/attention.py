@@ -22,6 +22,7 @@ via ``jax.checkpoint`` rather than per-block torch checkpointing.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Tuple
 
 import jax
@@ -32,6 +33,30 @@ from fgdm_tpu.kernels.attention import attention_with_scores, multihead_attentio
 from fgdm_tpu.nn.layers import Conv2d, Dense, GroupNorm32, LayerNorm32
 
 Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptureSpec:
+    """Static (hashable) capture filter: which maps to emit, at what pooling.
+
+    The distillation loss consumes self-attention maps at exactly ONE token
+    count (the loss resolution — or 2× that for the teacher, immediately
+    pooled back down, ddpm.py:1799-1818).  Plain ``capture=True`` computes
+    and materializes the head-averaged map for *every* attention layer and
+    lets the consumer discard the mismatched ones; a spec skips those
+    einsums entirely (the layer runs the plain flash path) and folds the
+    consumer's pooling into q/k before the score einsum (see
+    ``attention_with_scores(pool_kq=)`` for the exactness argument).
+
+    ``self_n``: emit self-attention maps only for layers whose token count
+    equals this (None = all layers).  ``self_pool``: flat-window average-
+    pool factor applied to both token axes of emitted self maps.  Cross-
+    attention maps are always emitted unpooled (all layers feed the loss).
+    """
+
+    mode: str = "sim"          # "sim" | "probs"
+    self_n: Optional[int] = None
+    self_pool: int = 1
 
 
 class CrossAttention(nn.Module):
@@ -77,8 +102,11 @@ class CrossAttention(nn.Module):
         # pre-softmax sim (the reference hook output ``out[1]``,
         # attention.py:170-175 — distillation path); "probs" = per-head
         # post-softmax probabilities [B,h,N,M] (the ``*M`` classes' output,
-        # attention.py:341-342 — inference-time alignment guidance path).
-        want_probs = capture == "probs"
+        # attention.py:341-342 — inference-time alignment guidance path);
+        # CaptureSpec = filtered/pooled "sim" (distillation fast path).
+        spec = capture if isinstance(capture, CaptureSpec) else None
+        mode = spec.mode if spec is not None else capture
+        want_probs = mode == "probs"
         probs = None
         if attn_editor is not None or want_probs:
             # explicit-probability path: softmax probs are materialized,
@@ -97,8 +125,15 @@ class CrossAttention(nn.Module):
                 probs = attn
             elif capture:
                 probs = jnp.mean(sim, axis=1)
+        elif spec is not None and not is_cross and (
+            spec.self_n is not None and x.shape[1] != spec.self_n
+        ):
+            # filtered out by the spec: this layer's self map would be
+            # discarded by the consumer — skip the score einsum entirely
+            out = multihead_attention(qh, kh, vh, scale)
         elif capture:
-            out, probs = attention_with_scores(qh, kh, vh, scale)
+            pool = spec.self_pool if (spec is not None and not is_cross) else 1
+            out, probs = attention_with_scores(qh, kh, vh, scale, pool_kq=pool)
         elif self.seq_axis is not None and not is_cross:
             from fgdm_tpu.parallel.ring_attention import context_ring_attention
 

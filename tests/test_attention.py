@@ -133,3 +133,56 @@ def test_scores_capture_is_head_averaged_presoftmax(np_rng):
     ref_sim = np.einsum("bhid,bhjd->bhij", q, k) * scale
     np.testing.assert_allclose(np.asarray(scores), ref_sim.mean(1), atol=1e-5)
     assert out.shape == (2, 4, 8, 8)
+
+
+def test_pooled_scores_capture_matches_pooled_full_map(np_rng):
+    """pool_kq folds the consumer's avg-pool into q/k — must equal pooling
+    the full raw map (the linearity that makes reduced capture exact)."""
+    from fgdm_tpu.utils.attention_maps import avg_pool_map_2x
+
+    q = np_rng.standard_normal((2, 4, 64, 8)).astype(np.float32)
+    k = np_rng.standard_normal((2, 4, 64, 8)).astype(np.float32)
+    v = np_rng.standard_normal((2, 4, 64, 8)).astype(np.float32)
+    scale = 0.3
+    _, full = ka.attention_with_scores(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale
+    )
+    _, pooled = ka.attention_with_scores(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, pool_kq=4
+    )
+    assert pooled.shape == (2, 16, 16)
+    ref = avg_pool_map_2x(full, times=2)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref), atol=1e-5)
+
+
+def test_capture_spec_filters_and_pools_self_maps(np_rng):
+    """CaptureSpec routes inside CrossAttention: mismatched-N self layers
+    emit no map; matching layers emit the pooled map."""
+    from fgdm_tpu.nn.attention import CaptureSpec, CrossAttention
+
+    x = jnp.asarray(np_rng.standard_normal((2, 64, 32)).astype(np.float32))
+    attn = CrossAttention(query_dim=32, heads=4, dim_head=8)
+    params = attn.init(jax.random.PRNGKey(0), x)
+
+    # full capture for the oracle map
+    _, full = attn.apply(params, x, capture=True)
+    # matching self_n with pooling
+    out_p, pooled = attn.apply(
+        params, x, capture=CaptureSpec(self_n=64, self_pool=4))
+    assert pooled.shape == (2, 16, 16)
+    from fgdm_tpu.utils.attention_maps import avg_pool_map_2x
+
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(avg_pool_map_2x(full, times=2)),
+        atol=1e-5)
+    # mismatched self_n: no map, identical attention output
+    out_f, filtered = attn.apply(params, x, capture=CaptureSpec(self_n=256))
+    assert filtered is None
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=1e-6)
+    # cross-attention under a spec still captures unpooled
+    ctx = jnp.asarray(np_rng.standard_normal((2, 12, 32)).astype(np.float32))
+    cattn = CrossAttention(query_dim=32, context_dim=32, heads=4, dim_head=8)
+    cparams = cattn.init(jax.random.PRNGKey(0), x, context=ctx)
+    _, cmap = cattn.apply(
+        cparams, x, context=ctx, capture=CaptureSpec(self_n=999, self_pool=4))
+    assert cmap is not None and cmap.shape == (2, 64, 12)

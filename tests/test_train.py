@@ -188,3 +188,51 @@ def test_distill_capture_split_equivalence(tiny_ld):
     loss_c, md_c = diffusion_loss(ld, rng, x, cond, distill=True,
                                   trunc_bs=4)
     assert np.isfinite(float(md_c["loss_distill"]))
+
+
+def test_teacher_maps_reduced_capture_equivalence(tiny_ld):
+    """teacher_attention_maps (reduced capture: filtered + pooled in the
+    score einsum) must equal the explicit full-capture-then-pool formula it
+    replaced (ddpm.py:1799-1818 semantics)."""
+    from fgdm_tpu.diffusion.losses import (
+        _pool_cross_2x,
+        nearest_upsample_2x_latent,
+        teacher_attention_maps,
+    )
+    from fgdm_tpu.utils.attention_maps import (
+        _resize_query_grid,
+        avg_pool_map_2x,
+    )
+
+    ld = tiny_ld
+    rng = np.random.default_rng(3)
+    b = 2
+    x_start = jnp.asarray(rng.standard_normal((b, 8, 8, 4)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((b, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([17, 401], jnp.int32)
+    ids = jnp.asarray(rng.integers(0, 128, (b, 77)), jnp.int32)
+    cond = {"c_crossattn": ld.get_learned_conditioning(ids)}
+
+    t_self, t_cross = teacher_attention_maps(ld, x_start, noise, t, cond)
+
+    # oracle: full capture, filter at 2·resn, pool after materializing
+    resn = 8
+    r2 = 2 * resn
+    x2 = ld.schedule.q_sample(
+        nearest_upsample_2x_latent(x_start), t,
+        nearest_upsample_2x_latent(noise))
+    _, sa, ca = ld.apply_model(x2, t, cond, adapter_on=False, capture=True)
+    self_maps = [avg_pool_map_2x(m, times=2) for m in sa.values()
+                 if int(round(m.shape[1] ** 0.5)) == r2]
+    ref_self = sum(self_maps) / len(self_maps)
+    cross_maps = []
+    for m in ca.values():
+        r = int(round(m.shape[1] ** 0.5))
+        m = _resize_query_grid(m, r, r2).reshape(b, r2, r2, -1)
+        cross_maps.append(_pool_cross_2x(m))
+    ref_cross = sum(cross_maps) / len(cross_maps)
+
+    np.testing.assert_allclose(np.asarray(t_self), np.asarray(ref_self),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t_cross), np.asarray(ref_cross),
+                               atol=2e-4)
