@@ -11,6 +11,16 @@ at startup (slow path paid once; persistent compile cache makes restarts
 fast); requests are padded to the compiled batch so every invocation is the
 same XLA executable at full MXU utilization.
 
+Cold-start: XLA+Mosaic compile cost is strongly superlinear in program
+size on the TPU remote compiler (measured: the fused chain compiles in
+~1000 s, while its stages compile in ~30+11+365+28 s — adding the 28 s
+VAE decode into the factor-2 sampler program alone costs +475 s).
+``staged=True`` therefore compiles the chain as four programs (factor-1
+sampler, decode+hint, factor-2 sampler, final decode) that run back to
+back; the per-request cost is 3 extra host round-trips (~1 ms each next
+to a ~2.5 s chain) and the results are bit-identical (same PRNG splits,
+same stage math).
+
 Multi-chip serving: pass a ``mesh`` (from ``parallel.mesh.create_mesh``) to
 shard the request batch over the 'data' axis — params are replicated on
 every chip, each chip denoises its batch shard, and XLA inserts no
@@ -32,7 +42,14 @@ from jax.sharding import Mesh
 from fgdm_tpu.diffusion.control import ControlLDM
 from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
 from fgdm_tpu.models.clip import CLIPTokenizer
-from fgdm_tpu.sampling.chain import A_PROMPT, N_PROMPT, fgdm_chain
+from fgdm_tpu.sampling.chain import (
+    A_PROMPT,
+    N_PROMPT,
+    fgdm_chain,
+    quantize_like_png,
+    sample_condition_factor,
+    sample_image_factor,
+)
 
 
 class ChainEngine:
@@ -50,6 +67,7 @@ class ChainEngine:
         f2_scale: float = 9.0,
         warmup: bool = True,
         mesh: Optional[Mesh] = None,
+        staged: bool = False,
     ):
         self.ld = ld
         self.cldm = cldm
@@ -58,6 +76,7 @@ class ChainEngine:
         self.cond_hw = tuple(cond_hw)
         self.image_hw = tuple(image_hw)
         self.mesh = mesh
+        self.staged = staged
         self._cfg = dict(f1_steps=f1_steps, f2_steps=f2_steps,
                          f1_scale=f1_scale, f2_scale=f2_scale)
 
@@ -66,6 +85,31 @@ class ChainEngine:
                 ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx,
                 cond_hw=self.cond_hw, image_hw=self.image_hw, **self._cfg,
             )
+
+        # stage programs: exactly fgdm_chain's dataflow, cut at the small
+        # inter-stage tensors (z latents / hint image)
+        def f1(ld, r1, p_ctx, e_ctx):
+            return sample_condition_factor(
+                ld, r1, p_ctx, e_ctx,
+                latent_hw=(self.cond_hw[0] // 8, self.cond_hw[1] // 8),
+                num_steps=f1_steps, cfg_scale=f1_scale)
+
+        def dec_hint(ld, z_cond):
+            cond_img = jnp.clip(
+                (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0)
+            hint = quantize_like_png(cond_img)
+            b, _, _, c = hint.shape
+            hint = jax.image.resize(
+                hint, (b, self.image_hw[0], self.image_hw[1], c), "bilinear")
+            return cond_img, hint
+
+        def f2(cldm, r2, hint, cnp_ctx, cnn_ctx):
+            return sample_image_factor(
+                cldm, r2, hint, cnp_ctx, cnn_ctx,
+                num_steps=f2_steps, cfg_scale=f2_scale)
+
+        def dec2(cldm, z_img):
+            return cldm.decode_first_stage(z_img)
 
         if mesh is not None:
             from fgdm_tpu.parallel.mesh import (
@@ -84,13 +128,35 @@ class ChainEngine:
                 in_shardings=(repl, repl, repl, dsh, dsh, dsh, dsh),
                 out_shardings=dsh,
             )
+            self._f1 = jax.jit(f1, in_shardings=(repl, repl, dsh, dsh),
+                               out_shardings=dsh)
+            self._dec_hint = jax.jit(dec_hint, in_shardings=(repl, dsh),
+                                     out_shardings=dsh)
+            self._f2 = jax.jit(f2, in_shardings=(repl, repl, dsh, dsh, dsh),
+                               out_shardings=dsh)
+            self._dec2 = jax.jit(dec2, in_shardings=(repl, dsh),
+                                 out_shardings=dsh)
             self._embed = jax.jit(
                 lambda ld, ids: ld.get_learned_conditioning(ids),
                 in_shardings=(repl, dsh), out_shardings=dsh)
         else:
             self._run = jax.jit(run)
+            self._f1 = jax.jit(f1)
+            self._dec_hint = jax.jit(dec_hint)
+            self._f2 = jax.jit(f2)
+            self._dec2 = jax.jit(dec2)
             self._embed = jax.jit(
                 lambda ld, ids: ld.get_learned_conditioning(ids))
+        if staged:
+            def run_staged(ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx):
+                r1, r2 = jax.random.split(rng)
+                z_cond = self._f1(ld, r1, p_ctx, e_ctx)
+                cond_img, hint = self._dec_hint(ld, z_cond)
+                z_img = self._f2(cldm, r2, hint, cnp_ctx, cnn_ctx)
+                image = self._dec2(cldm, z_img)
+                return {"condition": cond_img, "hint": hint, "image": image}
+
+            self._run = run_staged
         self.compile_seconds = None
         if warmup:
             t0 = time.perf_counter()

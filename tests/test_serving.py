@@ -90,3 +90,15 @@ def test_mesh_engine_rejects_indivisible_batch(engine):
         ChainEngine(engine.ld, engine.cldm, max_batch=6,
                     cond_hw=(64, 64), image_hw=(64, 64),
                     f1_steps=2, f2_steps=2, mesh=mesh, warmup=False)
+
+
+def test_staged_engine_matches_fused(engine):
+    """staged=True compiles four stage programs; outputs must match the
+    one-program chain bit-for-bit (same PRNG splits, same stage math)."""
+    staged = ChainEngine(engine.ld, engine.cldm, tokenizer=engine.tok,
+                         max_batch=2, cond_hw=(64, 64), image_hw=(64, 64),
+                         f1_steps=2, f2_steps=2, staged=True, warmup=False)
+    a = engine.generate(["a cat", "a dog"], seed=3)
+    b = staged.generate(["a cat", "a dog"], seed=3)
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["conditions"], b["conditions"])
