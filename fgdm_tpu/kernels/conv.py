@@ -1,0 +1,177 @@
+"""Pallas TPU direct 3×3 convolution for the UNet hot shapes.
+
+XLA's conv_general_dilated measures 24-48% MXU at SD-UNet shapes on v5e
+(NEXT.md §7), and the XLA-level shift-and-matmul rewrite loses outright
+(9× HBM reads of the input).  This kernel keeps the whole padded input
+plane of one batch item resident in VMEM and runs the nine shifted
+[bh·W, C] × [C, Co] contractions from there — HBM traffic is exactly
+1× input + 1× weights + 1× output, and every MXU pass has contraction
+width C ≥ 320.
+
+Scope (asserted): stride 1, SAME padding, 3×3, NHWC, plane small enough
+for VMEM residency — the ResBlock convs of the UNet/ControlNet at latent
+resolutions (64² and below).  The VAE's 256²/512² planes don't fit and
+stay on the XLA path (``conv3x3_ok`` gates dispatch).
+
+Reference counterpart: every ``conv_nd(dims, ..., 3, padding=1)`` in
+`/root/reference/ldm/modules/diffusionmodules/openaimodel.py` (ResBlock
+in/out layers, `util.py:conv_nd`).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
+_DISABLE = os.environ.get("FGDM_DISABLE_PALLAS_CONV", "0") == "1"
+
+try:
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+__all__ = ["conv3x3", "conv3x3_ok"]
+
+# VMEM plan per program (double-buffering headroom included by keeping the
+# sum of resident blocks ≤ ~10 MB): padded plane + weight block + f32 acc.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_blocks(h, w, c, co, itemsize):
+    plane = (h + 2) * (w + 2) * c * itemsize
+    bco = co
+    while (9 * c * bco * itemsize > 6 * 1024 * 1024 or co % bco) and bco > 128:
+        bco //= 2
+    while co % bco and bco > 8:
+        bco //= 2
+    bh = h
+    while bh > 8 and (bh * w * bco * 4 > 2 * 1024 * 1024 or h % bh):
+        bh //= 2
+    while h % bh:
+        bh //= 2
+    total = plane + 9 * c * bco * itemsize + bh * w * bco * 4
+    return bh, bco, total
+
+
+def _kernel(xp_ref, w_ref, b_ref, o_ref, *, bh, w_len, kdim):
+    """One (batch, row-block, co-block) program.
+
+    xp_ref: [1, H+2, W+2, C] full padded plane (resident across the
+    sequential row/co grid); w_ref: [9, C, bco]; o_ref: [1, bh, W, bco].
+    The nine taps are shifted full-width slices of the plane — reads from
+    VMEM, no HBM re-touch.  dy/dx are Python-unrolled so every slice start
+    is static except the row-block offset.
+    """
+    i = pl.program_id(1)
+    acc = jnp.zeros((bh * w_len, o_ref.shape[-1]), jnp.float32)
+    for dy in range(kdim):
+        for dx in range(kdim):
+            xs = xp_ref[0, pl.ds(i * bh + dy, bh), pl.ds(dx, w_len), :]
+            xs2 = xs.reshape(bh * w_len, xs.shape[-1])
+            acc = acc + jax.lax.dot_general(
+                xs2, w_ref[dy * kdim + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + b_ref[...].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w_len, -1).astype(o_ref.dtype)
+
+
+def conv3x3_ok(x_shape, w_shape, dtype) -> bool:
+    """True when the Pallas path covers this conv (see module docstring)."""
+    if not (_HAS_PLTPU and not _DISABLE):
+        return False
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    kh, kw, c, co = w_shape
+    # Mosaic pads C/Co to lane tiles itself; the gates are only about MXU
+    # viability (width ≥ 128) and clean block divisibility.
+    if (kh, kw) != (3, 3) or c < 128 or co < 128 or c % 8 or co % 8:
+        return False
+    _, h, w, _ = x_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    bh, bco, total = _pick_blocks(h, w, c, co, itemsize)
+    return total <= _VMEM_BUDGET and h % bh == 0
+
+
+def _conv3x3_fwd(x, w, b):
+    n, h, w_len, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w9 = w.reshape(9, c, co)
+    bh, bco, _ = _pick_blocks(h, w_len, c, co, x.dtype.itemsize)
+    b2 = jnp.broadcast_to(b.astype(jnp.float32)[None, :], (1, co))
+
+    grid = (n, h // bh, co // bco)
+    return pl.pallas_call(
+        functools.partial(_kernel, bh=bh, w_len=w_len, kdim=3),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_len, co), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h + 2, w_len + 2, c), lambda g, i, j: (g, 0, 0, 0)),
+            pl.BlockSpec((9, c, bco), lambda g, i, j: (0, 0, j)),
+            pl.BlockSpec((1, bco), lambda g, i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w_len, bco),
+                               lambda g, i, j: (g, i, 0, j)),
+        interpret=_INTERPRET,
+    )(xp, w9, b2)
+
+
+def _xla_conv3x3(x, w, b):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv3x3(x, w, b):
+    """3×3 stride-1 SAME conv, NHWC/HWIO, bias included.
+
+    Pallas when ``conv3x3_ok`` holds, XLA otherwise.  The backward pass
+    uses XLA's conv transpose/grad forms either way — training steps
+    remat their convs, so the forward kernel is what the step replays.
+    """
+    if conv3x3_ok(x.shape, w.shape, x.dtype):
+        return _conv3x3_fwd(x, w, b)
+    return _xla_conv3x3(x, w, b)
+
+
+def _conv3x3_vjp_fwd(x, w, b):
+    return conv3x3(x, w, b), (x, w)
+
+
+def _conv3x3_vjp_bwd(res, g):
+    x, w = res
+    gf = g.astype(jnp.float32)
+    # dX: correlate the cotangent with the spatially-flipped, IO-swapped
+    # kernel; dW: patch-correlate input with cotangent (XLA grad forms).
+    w_flip = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        gf, w_flip.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jax.lax.conv_general_dilated(
+        xp.transpose(3, 1, 2, 0),      # [C, H+2, W+2, N]: C as batch
+        gf.transpose(1, 2, 0, 3),      # [H, W, N, Co]: N as input channels
+        (1, 1), "VALID",               # output spatial (H+2)-H+1 = 3
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).transpose(1, 2, 0, 3).astype(w.dtype)           # [3, 3, C, Co]
+    db = jnp.sum(gf, axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv3x3.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)

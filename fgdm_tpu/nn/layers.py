@@ -13,11 +13,16 @@ the reference's NCHW.  The torch-checkpoint ingester does the transposition.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Pallas direct 3×3 conv for VMEM-resident planes (kernels/conv.py);
+# default off until the on-chip A/B proves it for the deployed shapes.
+_PALLAS_CONV = os.environ.get("FGDM_PALLAS_CONV", "0") == "1"
 
 Dtype = Any
 
@@ -140,6 +145,15 @@ class Conv2d(nn.Module):
         kernel = self.param(
             "kernel", kernel_init, (k, k, x.shape[-1], self.features), jnp.float32
         )
+        if _PALLAS_CONV and k == 3 and self.stride == 1 and self.use_bias \
+                and pad in ("SAME", [(1, 1), (1, 1)]):
+            from fgdm_tpu.kernels.conv import conv3x3, conv3x3_ok
+
+            xk = x.astype(self.dtype)
+            if conv3x3_ok(xk.shape, kernel.shape, xk.dtype):
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                return conv3x3(xk, kernel.astype(self.dtype), bias)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -14,6 +14,8 @@ import sys
 import time
 
 import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(
