@@ -48,11 +48,14 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 def _pick_blocks(h, w, c, co, itemsize):
     plane = (h + 2) * (w + 2) * c * itemsize
+    # Mosaic block rule: a blocked (non-full) minor dim must be a multiple
+    # of 128 (lanes).  Candidates: co itself, else 128-multiple divisors.
+    cands = [co] + [m for m in range(co - 128, 127, -128) if co % m == 0]
     bco = co
-    while (9 * c * bco * itemsize > 6 * 1024 * 1024 or co % bco) and bco > 128:
-        bco //= 2
-    while co % bco and bco > 8:
-        bco //= 2
+    for m in cands:
+        bco = m
+        if 9 * c * m * itemsize <= 6 * 1024 * 1024:
+            break
     bh = h
     while bh > 8 and (bh * w * bco * 4 > 2 * 1024 * 1024 or h % bh):
         bh //= 2

@@ -41,10 +41,14 @@ _INTERPRET = os.environ.get("FGDM_PALLAS_INTERPRET", "0") == "1"
 # img/s, within the ±0.005 run-to-run noise band but never worse).
 _ROW_CHUNK = int(os.environ.get("FGDM_GN_ROW_CHUNK", "1024"))
 # VMEM budget per block in elements: the kernel holds the chunk in bf16
-# plus f32 temporaries (~16B/row-elem with double buffering); 1M elems
-# keeps the widest UNet activation (skip-concat c=1920) under the 16MB
-# scoped-vmem limit at any batch size (observed OOM at 1024×1920).
-_CHUNK_ELEMS = int(os.environ.get("FGDM_GN_CHUNK_ELEMS", str(1 << 20)))
+# plus f32 temporaries (~17B/row-elem with double buffering).  1M elems
+# was borderline: 1024×960 chunks (983K elems) measured 16.38M scoped
+# vmem — 388K OVER the 16M limit — and whether the compile survives
+# depends on scheduler effort (default effort happened to fit, the
+# r3 lowopt probe and a batch-1 ControlLDM init did not).  768K keeps
+# the hot c≤512 shapes at full 1024-row chunks and halves only wide-c
+# blocks (512×960 = 8.4M measured headroom).
+_CHUNK_ELEMS = int(os.environ.get("FGDM_GN_CHUNK_ELEMS", str(768 * 1024)))
 # Feed NHWC blocks to the kernel without the XLA-side flatten (chunked over
 # H).  Measured on v5e: the flatten's layout copies looked costly in the
 # HLO, but the native-4D path benched *slower* end-to-end (train step 125
