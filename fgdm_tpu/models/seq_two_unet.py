@@ -50,6 +50,7 @@ class SeqTwoUNet(nn.Module):
     # 'joint_image_adapter' — a module absent from the shipped repo; this is
     # its concrete realization) instead of channel concatenation.
     image_adapter: bool = False
+    remat: bool = False             # forwarded to both UNets (use_checkpoint)
     dtype: Dtype = jnp.bfloat16
     # schedule for in-forward x0 prediction (matches the diffusion process)
     linear_start: float = 0.00085
@@ -66,6 +67,7 @@ class SeqTwoUNet(nn.Module):
             transformer_depth=self.transformer_depth,
             context_dim=self.context_dim,
             use_adapter=False,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.unet2 = UNetModel(

@@ -41,6 +41,25 @@ COCO = os.environ.get("FGDM_COCO_DIR", "/tmp/fgdm_coco")
 STEPS = int(os.environ.get("FGDM_HW_STEPS", "12"))
 
 
+def _randomize_zero_heads(params):
+    """Replace zero-initialized kernels (zero convs / output heads) with small
+    noise.  Both recipes fine-tune a partition against a *frozen* backbone;
+    with a scratch init the zero-init output conv blocks every upstream
+    gradient (d loss/d h = W_out^T @ g = 0), so the trainable branch would see
+    exactly zero gradients — in production these weights come from a released
+    SD checkpoint (reference loads sd-v1-4/sd-v1-5; cldm.py:924-931 assumes
+    it).  Same recipe as tests/test_train_joint.py:37-45."""
+    import jax.tree_util as jtu
+
+    def f(path, p):
+        if p.ndim >= 2 and np.all(np.asarray(p) == 0):
+            k = jax.random.PRNGKey(hash(str(path)) % 2**31)
+            return jax.random.normal(k, p.shape, p.dtype) * 0.02
+        return p
+
+    return jtu.tree_map_with_path(f, params)
+
+
 def _loader(image_size, batch, use_rgb):
     from fgdm_tpu.data.dataset import load_data
     from fgdm_tpu.data.prefetch import ParallelBatchLoader
@@ -87,6 +106,10 @@ def run_control():
         unet, AutoencoderKL(dtype=dtype, fused_norm=True),
         CLIPTextEncoder(dtype=dtype), ControlNet(dtype=dtype, fused_norm_silu=True),
         jax.random.PRNGKey(0), latent_size=64)
+    # backbone only: the ControlNet's 13 zero convs start at true zero, as in
+    # the reference — they get nonzero grads themselves (upstream x input)
+    # once the backbone's out head is nonzero
+    cldm = cldm.replace(unet_params=_randomize_zero_heads(cldm.unet_params))
     tx = make_adamw(1e-5)
     state = TrainState.create(control_param_tree(cldm), tx,
                               trainable_filter=control_filter(sd_locked=True))
@@ -150,11 +173,11 @@ def run_joint():
 
     batch_size = int(os.environ.get("FGDM_HW_BATCH", "4"))
     dtype = jnp.bfloat16
-    model = SeqTwoUNet(dtype=dtype, image_adapter=True)
+    model = SeqTwoUNet(dtype=dtype, image_adapter=True, remat=True)
     x = jnp.zeros((1, 32, 32, 8))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 77, 768))
-    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    params = _randomize_zero_heads(model.init(jax.random.PRNGKey(0), x, t, ctx))
     sched = DiffusionSchedule.create(1000, "linear", linear_start=0.00085,
                                      linear_end=0.0120)
     tx = make_adamw(1e-5)
