@@ -41,28 +41,38 @@ except Exception:  # pragma: no cover
 
 __all__ = ["conv3x3", "conv3x3_ok"]
 
-# VMEM plan per program (double-buffering headroom included by keeping the
-# sum of resident blocks ≤ ~10 MB): padded plane + weight block + f32 acc.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Scoped-VMEM fit model.  Mosaic double-buffers every pipelined ref block
+# (measured: a [*,66,66,640] plane with bco=128/bh=32 allocated 16.41 MB of
+# scoped VMEM against an 8.1 MB naive block sum — almost exactly 2×), so the
+# model counts each ref block twice plus the f32 accumulator once, against
+# the 16 MB hard limit with 1 MB slack.
+_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def _scoped_vmem(h, w, c, co, bh, bco, itemsize):
+    plane = (h + 2) * (w + 2) * c * itemsize
+    wblk = 9 * c * bco * itemsize
+    oblk = bh * w * bco * itemsize
+    acc = bh * w * bco * 4
+    return 2 * (plane + wblk + oblk) + acc
 
 
 def _pick_blocks(h, w, c, co, itemsize):
-    plane = (h + 2) * (w + 2) * c * itemsize
     # Mosaic block rule: a blocked (non-full) minor dim must be a multiple
     # of 128 (lanes).  Candidates: co itself, else 128-multiple divisors.
     cands = [co] + [m for m in range(co - 128, 127, -128) if co % m == 0]
-    bco = co
+    bco = cands[-1]
     for m in cands:
-        bco = m
-        if 9 * c * m * itemsize <= 6 * 1024 * 1024:
+        if 9 * c * m * itemsize <= 4 * 1024 * 1024:
+            bco = m
             break
     bh = h
-    while bh > 8 and (bh * w * bco * 4 > 2 * 1024 * 1024 or h % bh):
+    while bh > 8 and (_scoped_vmem(h, w, c, co, bh, bco, itemsize)
+                      > _VMEM_BUDGET or h % bh):
         bh //= 2
     while h % bh:
         bh //= 2
-    total = plane + 9 * c * bco * itemsize + bh * w * bco * 4
-    return bh, bco, total
+    return bh, bco, _scoped_vmem(h, w, c, co, bh, bco, itemsize)
 
 
 def _kernel(xp_ref, w_ref, b_ref, o_ref, *, bh, w_len, kdim):

@@ -16,7 +16,10 @@ def _ref(x, w, b):
 
 
 @pytest.mark.parametrize("h,c,co", [(16, 128, 128), (8, 320, 128),
-                                    (16, 192, 256)])
+                                    (16, 192, 256),
+                                    # wblk > 4M forces bco=128 < co: the
+                                    # co-grid + per-block bias path
+                                    (16, 640, 640)])
 def test_conv3x3_interpret_matches_lax(np_rng, monkeypatch, h, c, co):
     monkeypatch.setattr(kc, "_INTERPRET", True)
     x = jnp.asarray(np_rng.standard_normal((2, h, h, c)), jnp.float32)
