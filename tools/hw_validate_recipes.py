@@ -52,7 +52,9 @@ def _randomize_zero_heads(params):
     import jax.tree_util as jtu
 
     def f(path, p):
-        if p.ndim >= 2 and np.all(np.asarray(p) == 0):
+        # zero-test on device (scalar bool readback) — np.asarray here would
+        # pull the full multi-GB tree through the tunnel
+        if p.ndim >= 2 and bool(jnp.all(p == 0)):
             k = jax.random.PRNGKey(hash(str(path)) % 2**31)
             return jax.random.normal(k, p.shape, p.dtype) * 0.02
         return p
