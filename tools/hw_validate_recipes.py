@@ -74,17 +74,25 @@ def _loader(image_size, batch, use_rgb):
 
 
 def _ckpt_roundtrip(mgr, state, step):
-    """Save, restore into a fresh pytree, verify step + param equality."""
-    from fgdm_tpu.train.state import state_from_pytree, state_to_pytree
+    """Save, restore host-side, verify param equality; continue with the
+    (identical) original state.  Restoring a second full device copy next
+    to the live state OOMs HBM at full model size (observed: control
+    recipe, RESOURCE_EXHAUSTED in batched_device_put during restore), so
+    the restored tree stays in host numpy — restore-to-device is covered
+    at tiny scale by tests/test_train_cli.py resume."""
+    from fgdm_tpu.train.state import state_to_pytree
 
     mgr.save(step, state_to_pytree(state), force=True)
     mgr.wait()
-    restored = mgr.restore(target=state_to_pytree(state))
-    state2 = state_from_pytree(state, restored)
-    lhs = jax.tree.leaves(state.params)[0]
-    rhs = jax.tree.leaves(state2.params)[0]
-    assert np.allclose(np.asarray(lhs), np.asarray(rhs)), "ckpt mismatch"
-    return state2
+    restored = mgr.restore()                      # host numpy, no target
+    live = jax.tree.leaves(state.params)
+    back = jax.tree.leaves(
+        jax.tree.map(lambda x: x, restored["params"]))
+    assert len(live) == len(back), (len(live), len(back))
+    for i in range(0, len(live), max(1, len(live) // 12)):
+        assert np.allclose(np.asarray(live[i]), np.asarray(back[i])), \
+            f"ckpt mismatch at leaf {i}"
+    return state
 
 
 def run_control():
