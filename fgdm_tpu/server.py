@@ -113,9 +113,11 @@ def main(argv=None):
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--max_batch", type=int, default=4)
-    p.add_argument("--staged", action="store_true", default=False,
+    p.add_argument("--staged", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="compile the chain as four stage programs — "
-                   "~2.3x faster cold start, bit-identical output")
+                   "~2.3x faster cold start, bit-identical output "
+                   "(--no-staged for the single fused program)")
     opt = p.parse_args(argv)
 
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
