@@ -51,6 +51,26 @@ class CheckpointManager:
             )
         return self._mgr.restore(step)
 
+    def restore_host(self, step: Optional[int] = None) -> Any:
+        """Restore to host numpy — no ``device_put``, so a full-size tree can
+        be verified next to the live device state.  A plain ``restore()``
+        places every leaf on the default device; at full model scale that
+        second HBM copy is a guaranteed OOM (observed: SeqTwoUNet joint
+        state on v5e during the save→restore→verify roundtrip)."""
+        import numpy as np
+
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self._dir}")
+        meta = self._mgr.item_metadata(step)
+        # numpy-leaf target: StandardRestore keys restore_type off the target
+        # leaves, and np.zeros pages are calloc'd (untouched until written)
+        target = jax.tree.map(
+            lambda m: np.zeros(m.shape, m.dtype), meta)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(target))
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -44,9 +44,14 @@ __all__ = ["conv3x3", "conv3x3_ok"]
 # Scoped-VMEM fit model.  Mosaic double-buffers every pipelined ref block
 # (measured: a [*,66,66,640] plane with bco=128/bh=32 allocated 16.41 MB of
 # scoped VMEM against an 8.1 MB naive block sum — almost exactly 2×), so the
-# model counts each ref block twice plus the f32 accumulator once, against
-# the 16 MB hard limit with 1 MB slack.
-_VMEM_BUDGET = 15 * 1024 * 1024
+# model counts each ref block twice plus the f32 accumulator once.  The
+# budget leaves ~3.5 MB below the 16 MB hard limit because *in-chain*
+# compilation inflates actual scoped usage over this standalone model by
+# ~1.9 MB (measured: (64², 640→640) modeled 14.45 MB standalone-compiles
+# fine but allocates 16.31 MB inside the chain program — Mosaic scheduling
+# is program-context-dependent, same lesson as the fused-GN chunk budget).
+# An AOT sweep of all 29 chain conv shapes is in tools/probe_conv_fit.py.
+_VMEM_BUDGET = int(12.5 * 1024 * 1024)
 
 
 def _scoped_vmem(h, w, c, co, bh, bco, itemsize):
@@ -99,9 +104,18 @@ def _kernel(xp_ref, w_ref, b_ref, o_ref, *, bh, w_len, kdim):
     o_ref[0] = acc.reshape(bh, w_len, -1).astype(o_ref.dtype)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def conv3x3_ok(x_shape, w_shape, dtype) -> bool:
     """True when the Pallas path covers this conv (see module docstring)."""
     if not (_HAS_PLTPU and not _DISABLE):
+        return False
+    if not (_on_tpu() or _INTERPRET):
         return False
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False

@@ -26,6 +26,23 @@ def test_save_restore_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_restore_host_is_numpy(tmp_path):
+    """restore_host returns host numpy leaves (no device_put) with exact
+    values — the full-size roundtrip check relies on this to avoid a second
+    HBM copy of the live state (hw_validate_recipes OOM)."""
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": {"c": jnp.ones((4,), jnp.int32)}}
+    mgr = CheckpointManager(str(tmp_path / "h"), keep=1)
+    assert mgr.save(3, tree, force=True)
+    mgr.wait()
+    r = mgr.restore_host()
+    for leaf in jax.tree.leaves(r):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    np.testing.assert_array_equal(r["a"], np.asarray(tree["a"]))
+    np.testing.assert_array_equal(r["b"]["c"], np.asarray(tree["b"]["c"]))
+    mgr.close()
+
+
 def test_retention_policy(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "c"), keep=2,
                             save_interval_steps=1)

@@ -48,7 +48,9 @@ def test_conv3x3_vjp_matches_xla(np_rng):
     np.testing.assert_allclose(np.asarray(db), np.asarray(rdb), atol=1e-4)
 
 
-def test_conv3x3_dispatch_gates():
+def test_conv3x3_dispatch_gates(monkeypatch):
+    # shape gating only — pretend we're on the TPU backend (CPU test host)
+    monkeypatch.setattr(kc, "_on_tpu", lambda: True)
     # VAE-scale plane: too big for VMEM residency
     assert not kc.conv3x3_ok((1, 512, 512, 128), (3, 3, 128, 128),
                              jnp.bfloat16)

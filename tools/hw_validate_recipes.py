@@ -84,7 +84,7 @@ def _ckpt_roundtrip(mgr, state, step):
 
     mgr.save(step, state_to_pytree(state), force=True)
     mgr.wait()
-    restored = mgr.restore()                      # host numpy, no target
+    restored = mgr.restore_host()                 # host numpy, no device_put
     live = jax.tree.leaves(state.params)
     back = jax.tree.leaves(
         jax.tree.map(lambda x: x, restored["params"]))
