@@ -51,19 +51,32 @@ class CheckpointManager:
             )
         return self._mgr.restore(step)
 
-    def restore_host(self, step: Optional[int] = None) -> Any:
+    def restore_host(self, step: Optional[int] = None,
+                     template: Any = None) -> Any:
         """Restore to host numpy — no ``device_put``, so a full-size tree can
         be verified next to the live device state.  A plain ``restore()``
         places every leaf on the default device; at full model scale that
         second HBM copy is a guaranteed OOM (observed: SeqTwoUNet joint
-        state on v5e during the save→restore→verify roundtrip)."""
+        state on v5e during the save→restore→verify roundtrip).
+
+        ``template`` is any pytree with the checkpoint's structure whose
+        leaves expose ``.shape``/``.dtype`` (e.g. the live state) — required
+        when the manager can't produce item metadata (``item_metadata`` is
+        None for checkpoints this manager instance didn't just save, and a
+        ``StandardRestore(None)`` silently degrades to the device-put path)."""
         import numpy as np
 
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self._dir}")
-        meta = self._mgr.item_metadata(step)
+        meta = template
+        if meta is None:
+            meta = self._mgr.item_metadata(step)
+        if meta is None or not jax.tree.leaves(meta):
+            raise ValueError(
+                "restore_host needs shape/dtype metadata: pass template= "
+                "(checkpoint manager metadata unavailable for this step)")
         # numpy-leaf target: StandardRestore keys restore_type off the target
         # leaves, and np.zeros pages are calloc'd (untouched until written)
         target = jax.tree.map(

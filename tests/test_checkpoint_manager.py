@@ -35,12 +35,22 @@ def test_restore_host_is_numpy(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "h"), keep=1)
     assert mgr.save(3, tree, force=True)
     mgr.wait()
-    r = mgr.restore_host()
+    r = mgr.restore_host(template=tree)
     for leaf in jax.tree.leaves(r):
         assert isinstance(leaf, np.ndarray), type(leaf)
     np.testing.assert_array_equal(r["a"], np.asarray(tree["a"]))
     np.testing.assert_array_equal(r["b"]["c"], np.asarray(tree["b"]["c"]))
     mgr.close()
+
+    # a fresh manager on the same dir has no item metadata — restore_host
+    # must fail loud rather than silently degrade to the device-put path
+    mgr2 = CheckpointManager(str(tmp_path / "h"), keep=1)
+    if mgr2._mgr.item_metadata(3) is None:
+        with pytest.raises(ValueError):
+            mgr2.restore_host()
+    r2 = mgr2.restore_host(template=tree)
+    np.testing.assert_array_equal(r2["a"], np.asarray(tree["a"]))
+    mgr2.close()
 
 
 def test_retention_policy(tmp_path):

@@ -82,9 +82,10 @@ def _ckpt_roundtrip(mgr, state, step):
     at tiny scale by tests/test_train_cli.py resume."""
     from fgdm_tpu.train.state import state_to_pytree
 
-    mgr.save(step, state_to_pytree(state), force=True)
+    tree = state_to_pytree(state)
+    mgr.save(step, tree, force=True)
     mgr.wait()
-    restored = mgr.restore_host()                 # host numpy, no device_put
+    restored = mgr.restore_host(template=tree)    # host numpy, no device_put
     live = jax.tree.leaves(state.params)
     back = jax.tree.leaves(
         jax.tree.map(lambda x: x, restored["params"]))
