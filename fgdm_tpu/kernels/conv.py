@@ -125,6 +125,13 @@ def conv3x3_ok(x_shape, w_shape, dtype) -> bool:
     if (kh, kw) != (3, 3) or c < 128 or co < 128 or c % 8 or co % 8:
         return False
     _, h, w, _ = x_shape
+    # MXU row fill: each tap contracts [bh·w, c] — at 8² and below that is
+    # ≤64 rows per pass (<50% of the 128-row MXU) while XLA batches the
+    # conv across the N axis; 128² planes are VAE-decoder-only, where the
+    # fused XLA conv pipeline wins.  Chain A/B (r3): unrestricted Pallas
+    # dispatch measured 1.31 img/s vs 1.62 XLA.
+    if h < 16 or h > 64:
+        return False
     itemsize = jnp.dtype(dtype).itemsize
     bh, bco, total = _pick_blocks(h, w, c, co, itemsize)
     return total <= _VMEM_BUDGET and h % bh == 0

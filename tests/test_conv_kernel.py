@@ -15,7 +15,7 @@ def _ref(x, w, b):
     return out + b[None, None, None, :]
 
 
-@pytest.mark.parametrize("h,c,co", [(16, 128, 128), (8, 320, 128),
+@pytest.mark.parametrize("h,c,co", [(16, 128, 128), (32, 320, 128),
                                     (16, 192, 256),
                                     # wblk > 4M forces bco=128 < co: the
                                     # co-grid + per-block bias path

@@ -17,6 +17,7 @@ loss curve and writes metrics JSONL + checkpoints under logs/hw_<recipe>/.
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -51,11 +52,15 @@ def _randomize_zero_heads(params):
     it).  Same recipe as tests/test_train_joint.py:37-45."""
     import jax.tree_util as jtu
 
+    import zlib
+
     def f(path, p):
         # zero-test on device (scalar bool readback) — np.asarray here would
-        # pull the full multi-GB tree through the tunnel
+        # pull the full multi-GB tree through the tunnel.  crc32, not
+        # hash(): str hashing is salted per process, and the checkpoint
+        # roundtrip compares against whatever a previous process saved.
         if p.ndim >= 2 and bool(jnp.all(p == 0)):
-            k = jax.random.PRNGKey(hash(str(path)) % 2**31)
+            k = jax.random.PRNGKey(zlib.crc32(str(path).encode()) % 2**31)
             return jax.random.normal(k, p.shape, p.dtype) * 0.02
         return p
 
@@ -83,7 +88,8 @@ def _ckpt_roundtrip(mgr, state, step):
     from fgdm_tpu.train.state import state_to_pytree
 
     tree = state_to_pytree(state)
-    mgr.save(step, tree, force=True)
+    saved = mgr.save(step, tree, force=True)
+    assert saved, f"step {step} already exists — stale checkpoint dir?"
     mgr.wait()
     restored = mgr.restore_host(template=tree)    # host numpy, no device_put
     live = jax.tree.leaves(state.params)
@@ -128,6 +134,7 @@ def run_control():
 
     logdir = "logs/hw_control"
     os.makedirs(logdir, exist_ok=True)
+    shutil.rmtree(os.path.join(logdir, "checkpoints"), ignore_errors=True)
     mgr = CheckpointManager(os.path.join(logdir, "checkpoints"), keep=2,
                             save_interval_steps=10_000)
     loader = _loader(512, batch_size, use_rgb=True)
@@ -214,6 +221,7 @@ def run_joint():
 
     logdir = "logs/hw_joint"
     os.makedirs(logdir, exist_ok=True)
+    shutil.rmtree(os.path.join(logdir, "checkpoints"), ignore_errors=True)
     mgr = CheckpointManager(os.path.join(logdir, "checkpoints"), keep=2,
                             save_interval_steps=10_000)
     loader = _loader(256, batch_size, use_rgb=True)
