@@ -12,14 +12,17 @@ fast); requests are padded to the compiled batch so every invocation is the
 same XLA executable at full MXU utilization.
 
 Cold-start: XLA+Mosaic compile cost is strongly superlinear in program
-size on the TPU remote compiler (measured: the fused chain compiles in
-~1000 s, while its stages compile in ~30+11+365+28 s — adding the 28 s
-VAE decode into the factor-2 sampler program alone costs +475 s).
-``staged=True`` therefore compiles the chain as four programs (factor-1
-sampler, decode+hint, factor-2 sampler, final decode) that run back to
-back; the per-request cost is 3 extra host round-trips (~1 ms each next
-to a ~2.5 s chain) and the results are bit-identical (same PRNG splits,
-same stage math).
+size on the TPU remote compiler (measured when the fused-GN kernel used
+1M-element chunks: the fused chain compiled in ~1000 s while its stages
+took ~30+11+365+28 s).  The 768K chunk budget collapsed that wall —
+fresh-cache samples now range 102-409 s fused (remote-compiler variance
+dominates) and ~176 s staged — but ``staged=True`` still bounds the
+worst case by the largest stage, so it stays the server default.  The
+four programs (factor-1 sampler, decode+hint, factor-2 sampler, final
+decode) run back to back; the per-request cost is 3 extra host
+round-trips (~1 ms each next to a ~2.5 s chain) and the results are
+bit-identical (same PRNG splits, same stage math).  With the persistent
+``.jax_cache`` seeded, either path warms in ~111 s.
 
 Multi-chip serving: pass a ``mesh`` (from ``parallel.mesh.create_mesh``) to
 shard the request batch over the 'data' axis — params are replicated on
