@@ -16,6 +16,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 try:
