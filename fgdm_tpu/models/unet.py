@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fgdm_tpu.models.adapter import Adapter, TimeAdapter
-from fgdm_tpu.nn.attention import SpatialTransformer
+from fgdm_tpu.nn.attention import PixelAttentionBlock, SpatialTransformer
 from fgdm_tpu.nn.blocks import Downsample, ResBlock, Upsample
 from fgdm_tpu.nn.layers import Conv2d, Dense, GroupNorm32, timestep_embedding
 from fgdm_tpu.nn.blocks import silu
@@ -50,6 +50,7 @@ class UNetModel(nn.Module):
     transformer_depth: int = 1
     context_dim: Optional[int] = 768
     use_spatial_transformer: bool = True
+    use_new_attention_order: bool = False   # legacy pixel-attn qkv layout
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     conv_resample: bool = True
@@ -145,6 +146,16 @@ class UNetModel(nn.Module):
 
         def attn(name, ch, prefix):
             n_heads, d_head = self._heads_for(ch)
+            if not self.use_spatial_transformer:
+                # legacy pixel-space attention (no context/capture/editor —
+                # the reference AttentionBlock is self-attention only,
+                # openaimodel.py:304-349); used by non-LDM DDPM configs
+                blk_cls = (nn.remat(PixelAttentionBlock) if self.remat
+                           else PixelAttentionBlock)
+                blk = blk_cls(channels=ch, num_heads=n_heads,
+                              use_new_attention_order=self.use_new_attention_order,
+                              dtype=self.dtype, name=name)
+                return lambda hh: blk(hh)
             # remat the transformers too (not just ResBlocks) on the plain
             # path: capture-mode maps must escape the block, so those
             # instances stay un-rematted (and the teacher capture runs

@@ -252,3 +252,53 @@ class SpatialTransformer(nn.Module):
             dtype=self.dtype, name="proj_out",
         )(x)
         return x + x_in, probs
+
+
+class PixelAttentionBlock(nn.Module):
+    """Legacy pixel-space self-attention for ``use_spatial_transformer=False``
+    UNets (reference ``AttentionBlock``/``QKVAttention[Legacy]``,
+    `/root/reference/ldm/modules/diffusionmodules/openaimodel.py:304-434`):
+    GroupNorm(32) → fused qkv 1×1 projection over flattened spatial tokens →
+    per-head softmax attention with the reference's symmetric ``ch**-0.25``
+    q/k scaling → zero-initialized output projection → residual.
+
+    ``use_new_attention_order`` selects the qkv channel layout: legacy packs
+    heads outermost ([H, 3, ch] per token), the new order packs q/k/v
+    outermost ([3, H, ch]) — same math, different checkpoint layout.  No
+    context/capture/editor: the reference block is self-attention only.
+    """
+
+    channels: int
+    num_heads: int = 1
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hh, ww, c = x.shape
+        assert c == self.channels and c % self.num_heads == 0, (c, self.num_heads)
+        nh = self.num_heads
+        ch = c // nh
+        n = hh * ww
+        xf = x.reshape(b, n, c)
+        h = GroupNorm32(num_groups=32, name="norm")(xf)
+        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(h)     # [B, N, 3c]
+        if self.use_new_attention_order:
+            qkv = qkv.reshape(b, n, 3, nh, ch)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, ch]
+        else:
+            qkv = qkv.reshape(b, n, nh, 3, ch)
+            q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        # [B, H, N, ch] with the reference's split ch**-0.25 scaling on both
+        # operands (f16-stable form); softmax in f32
+        scale = float(ch) ** -0.25
+        q = q.transpose(0, 2, 1, 3) * scale
+        k = k.transpose(0, 2, 1, 3) * scale
+        v = v.transpose(0, 2, 1, 3)
+        w = jnp.einsum("bhtc,bhsc->bhts", q, k,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bhsc->bhtc", w, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = Dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(a)
+        return (xf + out).reshape(b, hh, ww, c)

@@ -661,3 +661,70 @@ def test_clip_text_parity(torch_ref):
 
     _ingest_and_compare(expect, sd, ingest_clip, apply_ours, apply_torch,
                         atol=2e-4)
+
+
+@pytest.mark.parametrize("new_order", [False, True])
+def test_pixel_attention_block_parity(torch_ref, new_order):
+    """Legacy pixel-space AttentionBlock (use_spatial_transformer=False UNets)
+    vs the reference openaimodel.AttentionBlock, both qkv layouts."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.modules.diffusionmodules.openaimodel import (
+        AttentionBlock as TorchAttnBlock,
+    )
+
+    from fgdm_tpu.nn.attention import PixelAttentionBlock
+
+    torch.manual_seed(0)
+    c, nh = 64, 4
+    tab = TorchAttnBlock(c, num_heads=nh,
+                         use_new_attention_order=new_order).eval()
+    # the zero-init proj_out would make the block an identity — randomize
+    with torch.no_grad():
+        tab.proj_out.weight.normal_(0, 0.05)
+        tab.proj_out.bias.normal_(0, 0.05)
+    sd = {k: v.detach().numpy() for k, v in tab.state_dict().items()}
+
+    ours = PixelAttentionBlock(channels=c, num_heads=nh,
+                               use_new_attention_order=new_order,
+                               dtype=jnp.float32)
+    params = {"params": {
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        # torch conv1d [out, in, 1] → dense [in, out]
+        "qkv": {"kernel": sd["qkv.weight"][:, :, 0].T,
+                "bias": sd["qkv.bias"]},
+        "proj_out": {"kernel": sd["proj_out.weight"][:, :, 0].T,
+                     "bias": sd["proj_out.bias"]},
+    }}
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, c, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tab(torch.from_numpy(x))
+    out = ours.apply(jax.tree.map(jnp.asarray, params),
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out), ref.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_pixel_attention_unet_path():
+    """use_spatial_transformer=False builds and runs the pixel-attn UNet
+    (no context), matching the reference's non-LDM DDPM configuration."""
+    from fgdm_tpu.models.unet import UNetModel
+
+    m = UNetModel(in_channels=3, model_channels=32, out_channels=3,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), num_heads=4,
+                  use_spatial_transformer=False, context_dim=None,
+                  use_adapter=False, dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, jnp.ones((1, 16, 16, 3)), t)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # pixel-attn params present where spatial transformers would be
+    # (ds=2 is reached after the level-0 downsample → input_blocks_3_1)
+    blk = params["params"]["input_blocks_3_1"]
+    assert set(blk) == {"norm", "qkv", "proj_out"}, sorted(blk)
