@@ -35,6 +35,7 @@ def build_unet(dtype=jnp.bfloat16, **p) -> UNetModel:
         transformer_depth=p.get("transformer_depth", 1),
         context_dim=p.get("context_dim"),
         use_spatial_transformer=p.get("use_spatial_transformer", True),
+        use_new_attention_order=p.get("use_new_attention_order", False),
         use_scale_shift_norm=p.get("use_scale_shift_norm", False),
         resblock_updown=p.get("resblock_updown", False),
         num_classes=p.get("num_classes"),

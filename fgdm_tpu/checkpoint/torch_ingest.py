@@ -87,6 +87,10 @@ def _convert_module_params(
     if name == "weight":
         if value.ndim == 4:
             return "kernel", _conv_kernel(value)
+        if value.ndim == 3:
+            # conv1d [out, in, 1] (pixel-attn qkv/proj_out,
+            # openaimodel.py:331,339) → dense [in, out]
+            return "kernel", np.transpose(value[:, :, 0])
         if value.ndim == 2:
             return "kernel", _linear_kernel(value)
         if value.ndim == 1:
@@ -128,7 +132,9 @@ def _map_transformer(rest: str) -> Optional[List[str]]:
         inner = inner.replace("ff.net.2", "ff.net_2")
         parts = inner.split(".")[:-1]
         return [f"transformer_blocks_{d}"] + parts
-    for p in ("norm", "proj_in", "proj_out"):
+    # norm/proj shared by SpatialTransformer and the legacy pixel-attention
+    # block; "qkv" exists only on the latter (openaimodel.py:331)
+    for p in ("norm", "proj_in", "proj_out", "qkv"):
         if rest.startswith(p + "."):
             return [p]
     return None

@@ -150,6 +150,10 @@ class UNetModel(nn.Module):
                 # legacy pixel-space attention (no context/capture/editor —
                 # the reference AttentionBlock is self-attention only,
                 # openaimodel.py:304-349); used by non-LDM DDPM configs
+                assert not capture and attn_editor is None, (
+                    "attention capture/editing requires "
+                    "use_spatial_transformer=True (the reference "
+                    "AttentionBlock exposes no maps either)")
                 blk_cls = (nn.remat(PixelAttentionBlock) if self.remat
                            else PixelAttentionBlock)
                 blk = blk_cls(channels=ch, num_heads=n_heads,

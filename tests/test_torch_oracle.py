@@ -689,14 +689,19 @@ def test_pixel_attention_block_parity(torch_ref, new_order):
     ours = PixelAttentionBlock(channels=c, num_heads=nh,
                                use_new_attention_order=new_order,
                                dtype=jnp.float32)
-    params = {"params": {
-        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
-        # torch conv1d [out, in, 1] → dense [in, out]
-        "qkv": {"kernel": sd["qkv.weight"][:, :, 0].T,
-                "bias": sd["qkv.bias"]},
-        "proj_out": {"kernel": sd["proj_out.weight"][:, :, 0].T,
-                     "bias": sd["proj_out.bias"]},
-    }}
+    # through the real ingest pipeline: pixel-attn keys live at
+    # input_blocks.N.1.* in a real checkpoint, conv1d weights are rank-3
+    from fgdm_tpu.checkpoint.torch_ingest import ingest_unet
+
+    sd_pref = {f"model.diffusion_model.input_blocks.4.1.{k}": v
+               for k, v in sd.items()}
+    expect_blk = jax.eval_shape(
+        lambda: ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, c))))
+    wrapped = {"params": {"input_blocks_4_1": expect_blk["params"]}}
+    tree, missing, unexpected = ingest_unet(sd_pref, expect=wrapped)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    params = {"params": tree["params"]["input_blocks_4_1"]}
 
     rng = np.random.default_rng(7)
     x = rng.standard_normal((2, c, 8, 8)).astype(np.float32)

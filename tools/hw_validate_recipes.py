@@ -93,8 +93,7 @@ def _ckpt_roundtrip(mgr, state, step):
     mgr.wait()
     restored = mgr.restore_host(template=tree)    # host numpy, no device_put
     live = jax.tree.leaves(state.params)
-    back = jax.tree.leaves(
-        jax.tree.map(lambda x: x, restored["params"]))
+    back = jax.tree.leaves(restored["params"])
     assert len(live) == len(back), (len(live), len(back))
     for i in range(0, len(live), max(1, len(live) // 12)):
         assert np.allclose(np.asarray(live[i]), np.asarray(back[i])), \

@@ -13,8 +13,6 @@ import os
 import sys
 import time
 
-os.environ["FGDM_PALLAS_CONV"] = "1"
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
