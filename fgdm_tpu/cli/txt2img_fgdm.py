@@ -37,7 +37,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--n_prompt", type=str, default="")
     p.add_argument("--plms", action="store_true")
-    p.add_argument("--dpm", action="store_true",
+    p.add_argument("--dpm", "--dpm_solver", dest="dpm", action="store_true",
                    help="DPM-Solver++ sampler (extension)")
     p.add_argument("--fixed_code", action="store_true")
     p.add_argument("--resize", action="store_true")
@@ -52,6 +52,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "(default models/fgdm_control_sd15_<cond>.pth)")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--C", type=int, default=4)
+    p.add_argument("--f", type=int, default=8,
+                   help="VAE downsample factor (latent = H/f)")
+    p.add_argument("--skip_grid", action="store_true",
+                   help="do not save the sample grid")
+    p.add_argument("--skip_save", action="store_true",
+                   help="do not save individual samples")
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--precision", type=str, default="autocast",
@@ -129,7 +135,7 @@ def _run_factor_chain(opt, spec, dtype):
                 schedule=spec.schedule(), scale_factor=spec.scale_factor,
                 conditioning_key=spec.conditioning_key)
         else:
-            ld_k = load_fgdm(ck, dtype=dtype, latent_size=opt.H // 8,
+            ld_k = load_fgdm(ck, dtype=dtype, latent_size=opt.H // opt.f,
                              unet=sd_unet(dtype=dtype,
                                           num_prompts=n_prompts))
         factors.append(ld_k)
@@ -235,7 +241,7 @@ def main(argv=None):
         # honor the parsed config's module defs/schedule/scale_factor
         ld = spec.load(ckpt, dtype=dtype)
     else:
-        ld = load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // 8)
+        ld = load_fgdm(ckpt, dtype=dtype, latent_size=opt.H // opt.f)
 
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
     if ckpt is not None:
@@ -258,7 +264,7 @@ def main(argv=None):
     uc = ld.get_learned_conditioning(empty_ids)
 
     rng = jax.random.PRNGKey(opt.seed)
-    shape = (b, opt.H // 8, opt.W // 8, opt.C)
+    shape = (b, opt.H // opt.f, opt.W // opt.f, opt.C)
     sched = DDIMSchedule.create(ld.schedule, opt.ddim_steps, eta=opt.ddim_eta)
 
     x_T = None
@@ -322,12 +328,12 @@ def main(argv=None):
             cond01 = np.asarray(
                 jnp.clip((cond_img + 1.0) / 2.0, 0, 1) * 255
             ).astype(np.uint8)
-            if opt.n_rows > 0:
+            if opt.n_rows > 0 and not opt.skip_grid:
                 from fgdm_tpu.train.metrics import make_grid
 
                 Image.fromarray(make_grid(cond01, nrow=opt.n_rows)).save(
                     os.path.join(sample_path, f"grid_{tag}.png"))
-            for i, arr in enumerate(cond01):
+            for i, arr in enumerate(cond01 if not opt.skip_save else []):
                 im = Image.fromarray(arr)
                 if opt.resize:
                     im = im.resize((512, 512))
