@@ -203,3 +203,110 @@ def build_latent_diffusion(dtype=jnp.bfloat16, **p) -> ModelSpec:
         scale_by_std=p.get("scale_by_std", False),
         raw=p,
     )
+
+
+def build_controlnet(dtype=jnp.bfloat16, **p):
+    """ControlNet branch from a ``control_stage_config`` params block
+    (reference `controlnet/models/cldm_v15_canny.yaml:21-36`)."""
+    from fgdm_tpu.models.controlnet import ControlNet
+
+    return ControlNet(
+        in_channels=p.get("in_channels", 4),
+        model_channels=p.get("model_channels", 320),
+        hint_channels=p.get("hint_channels", 3),
+        num_res_blocks=p.get("num_res_blocks", 2),
+        attention_resolutions=tuple(p.get("attention_resolutions", (4, 2, 1))),
+        channel_mult=tuple(p.get("channel_mult", (1, 2, 4, 4))),
+        num_heads=p.get("num_heads", 8),
+        num_head_channels=p.get("num_head_channels", -1),
+        transformer_depth=p.get("transformer_depth", 1),
+        context_dim=p.get("context_dim"),
+        use_scale_shift_norm=p.get("use_scale_shift_norm", False),
+        fused_norm_silu=p.get("fused_norm_silu", True),
+        dtype=dtype,
+    )
+
+
+@dataclasses.dataclass
+class ControlSpec:
+    """A parsed ControlLDM config (reference
+    `controlnet/models/cldm_v15_canny.yaml` via `cldm.cldm.ControlLDM`)."""
+
+    unet_def: UNetModel
+    cn_def: Any
+    vae_def: AutoencoderKL
+    clip_def: Optional[CLIPTextEncoder]
+    schedule_args: Dict[str, Any]
+    conditioning_key: str = "crossattn"
+    scale_factor: float = 0.18215
+    image_size: int = 64
+    only_mid_control: bool = False
+    control_key: str = "hint"
+    ckpt_path: Optional[str] = None
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def schedule(self) -> DiffusionSchedule:
+        return DiffusionSchedule.create(**self.schedule_args)
+
+    def create(self, rng: jax.Array):
+        from fgdm_tpu.diffusion.control import ControlLDM
+
+        cldm = ControlLDM.create_control(
+            self.unet_def, self.vae_def, self.clip_def, self.cn_def, rng,
+            latent_size=self.image_size, scale_factor=self.scale_factor,
+            schedule=self.schedule())
+        return cldm.replace(only_mid_control=self.only_mid_control)
+
+    def load(self, ckpt_path: Optional[str] = None, dtype=None):
+        from fgdm_tpu.checkpoint.loader import load_controlnet
+
+        cldm = load_controlnet(
+            ckpt_path or self.ckpt_path,
+            dtype=dtype or self.unet_def.dtype,
+            latent_size=self.image_size,
+            unet=self.unet_def, cn=self.cn_def, vae=self.vae_def,
+            clip=self.clip_def, schedule=self.schedule(),
+            scale_factor=self.scale_factor)
+        return cldm.replace(only_mid_control=self.only_mid_control)
+
+
+def build_control_ldm(dtype=jnp.bfloat16, **p) -> ControlSpec:
+    """`controlnet.cldm.cldm.ControlLDM` yaml params → ControlSpec."""
+    unet_def = build_unet(
+        dtype=dtype, no_prompting=True,
+        **{k: v for k, v in (p.get("unet_config", {}).get("params")
+                             or {}).items() if k != "no_prompting"})
+    cn_def = build_controlnet(
+        dtype=dtype, **(p.get("control_stage_config", {}).get("params")
+                        or {}))
+    vae_def = build_autoencoder(
+        dtype=dtype, **(p.get("first_stage_config", {}).get("params") or {}))
+    cond_cfg = p.get("cond_stage_config", "__is_unconditional__")
+    if isinstance(cond_cfg, dict):
+        clip_def = build_clip(dtype=dtype, **(cond_cfg.get("params") or {}))
+    elif cond_cfg in ("__is_unconditional__", None):
+        clip_def = None
+    else:
+        clip_def = build_clip(dtype=dtype)
+    return ControlSpec(
+        unet_def=unet_def,
+        cn_def=cn_def,
+        vae_def=vae_def,
+        clip_def=clip_def,
+        schedule_args=dict(
+            timesteps=p.get("timesteps", 1000),
+            beta_schedule=p.get("beta_schedule", "linear"),
+            linear_start=p.get("linear_start", 1e-4),
+            linear_end=p.get("linear_end", 2e-2),
+            cosine_s=p.get("cosine_s", 8e-3),
+            v_posterior=p.get("v_posterior", 0.0),
+            parameterization=p.get("parameterization", "eps"),
+        ),
+        conditioning_key=p.get("conditioning_key", "crossattn"),
+        scale_factor=p.get("scale_factor", 0.18215),
+        image_size=p.get("image_size", 64),
+        only_mid_control=p.get("only_mid_control", False),
+        control_key=p.get("control_key", "hint"),
+        ckpt_path=p.get("ckpt_path"),
+        raw=p,
+    )

@@ -173,16 +173,27 @@ def load_controlnet(
     latent_size: int = 64,
     share_first_stage: Optional[LatentDiffusion] = None,
     verbose: bool = True,
+    unet: Optional[UNetModel] = None,
+    cn=None,
+    vae: Optional[AutoencoderKL] = None,
+    clip: Optional[CLIPTextEncoder] = None,
+    schedule: Optional[DiffusionSchedule] = None,
+    scale_factor: float = 0.18215,
 ) -> ControlLDM:
-    """Assemble the seg→image ControlLDM (SD UNet + control branch)."""
-    unet = sd_unet(dtype=dtype, use_adapter=False)
-    cn = sd_controlnet(dtype=dtype)
-    vae = sd_vae(dtype=dtype)
-    clip = sd_clip(dtype=dtype)
+    """Assemble the seg→image ControlLDM (SD UNet + control branch).
+
+    Module definitions default to the SD-1.5 layout; a parsed cldm config
+    (``builders.build_control_ldm``) passes its own defs through."""
+    unet = unet if unet is not None else sd_unet(dtype=dtype, use_adapter=False)
+    cn = cn if cn is not None else sd_controlnet(dtype=dtype)
+    vae = vae if vae is not None else sd_vae(dtype=dtype)
+    clip = clip if clip is not None else sd_clip(dtype=dtype)
 
     x = jnp.zeros((1, latent_size, latent_size, 4))
     t = jnp.zeros((1,), jnp.int32)
-    ctx = jnp.zeros((1, 77, 768))
+    ctx = jnp.zeros((1,
+                     clip.max_length if clip is not None else 77,
+                     unet.context_dim or 768))
     hint = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
     init = _abstract_init if ckpt_path else (
         lambda m, *a, **kw: _real_init(m, 0, *a, **kw))
@@ -224,7 +235,9 @@ def load_controlnet(
         unet_params=jax.tree.map(jnp.asarray, unet_params),
         vae_params=jax.tree.map(jnp.asarray, vae_params),
         clip_params=jax.tree.map(jnp.asarray, clip_params),
-        schedule=DiffusionSchedule.create(**SD_SCHEDULE),
+        schedule=(schedule if schedule is not None
+                  else DiffusionSchedule.create(**SD_SCHEDULE)),
+        scale_factor=scale_factor,
         control_def=cn,
         control_params=jax.tree.map(jnp.asarray, cn_params),
     )

@@ -22,6 +22,9 @@ import numpy as np
 def get_parser():
     p = argparse.ArgumentParser(description="seg→image (ControlNet) renderer")
     p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--config", type=str, default=None,
+                   help="cldm yaml (reference models/cldm_v15_*.yaml); "
+                        "default = SD-1.5 ControlLDM layout")
     p.add_argument("--outdir", type=str, default="outputs/seg2image")
     p.add_argument("--cn_ckpt", type=str, default=None)
     p.add_argument("--prompt", type=str, default="")
@@ -34,6 +37,10 @@ def get_parser():
     p.add_argument("--ddim_steps", type=int, default=20)
     p.add_argument("--scale", type=float, default=9.0)
     p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="DDIM eta (reference process() slider default 0.0)")
+    p.add_argument("--detect_resolution", type=int, default=512,
+                   help="resolution the detector runs at")
     p.add_argument("--guess_mode", action="store_true")
     p.add_argument("--image_resolution", type=int, default=512)
     p.add_argument("--num_images", type=int, default=-1)
@@ -63,8 +70,15 @@ def main(argv=None):
 
     cn_ckpt = opt.cn_ckpt if opt.cn_ckpt and os.path.exists(opt.cn_ckpt) \
         else None
-    cldm = load_controlnet(cn_ckpt, dtype=dtype,
-                           latent_size=opt.image_resolution // 8)
+    if opt.config:
+        from fgdm_tpu.config import instantiate_from_config, load_config
+
+        spec = instantiate_from_config(load_config(opt.config)["model"],
+                                       dtype=dtype)
+        cldm = spec.load(cn_ckpt, dtype=dtype)
+    else:
+        cldm = load_controlnet(cn_ckpt, dtype=dtype,
+                               latent_size=opt.image_resolution // 8)
     if opt.guess_mode:
         cldm = cldm.replace(
             control_scales=guess_mode_scales(opt.strength))
@@ -107,7 +121,8 @@ def main(argv=None):
         lambda cldm, hint, rng: cldm.decode_first_stage(
             sample_image_factor(cldm, rng, hint, ctx, uc,
                                 num_steps=opt.ddim_steps,
-                                cfg_scale=opt.scale,
+                                cfg_scale=opt.scale, eta=opt.eta,
+                                strength=opt.strength,
                                 guess_mode=opt.guess_mode))
     )
 
@@ -117,7 +132,16 @@ def main(argv=None):
         img = Image.open(path).convert("RGB").resize((R, R), Image.NEAREST)
         arr = np.asarray(img)
         if detector is not None:
+            # detector runs at detect_resolution, result upsampled to R
+            # (reference process(), seg2image_inference.py:43-60)
+            D = opt.detect_resolution
+            if D != R:
+                arr = np.asarray(Image.fromarray(arr).resize(
+                    (D, D), Image.BILINEAR))
             arr = detector(arr)
+            if D != R:
+                arr = np.asarray(Image.fromarray(arr).resize(
+                    (R, R), Image.NEAREST))
         hint = jnp.asarray(arr, jnp.float32)[None] / 255.0
         rng, step_rng = jax.random.split(rng)
         out = run(cldm, hint, step_rng)

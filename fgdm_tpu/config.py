@@ -73,6 +73,25 @@ def _build_latent_diffusion(**params):
     return build_latent_diffusion(**params)
 
 
+def _build_control_ldm(**params):
+    from fgdm_tpu.builders import build_control_ldm
+
+    return build_control_ldm(**params)
+
+
+def _build_controlled_unet(**params):
+    from fgdm_tpu.builders import build_unet
+
+    params.pop("no_prompting", None)
+    return build_unet(no_prompting=True, **params)
+
+
+def _build_controlnet(**params):
+    from fgdm_tpu.builders import build_controlnet
+
+    return build_controlnet(**params)
+
+
 def _build_unet(**params):
     from fgdm_tpu.builders import build_unet
 
@@ -136,6 +155,12 @@ TARGET_ALIASES: Dict[str, Callable[..., Any]] = {
     "ldm.models.diffusion.ddpm.AdaptDiffusion": _build_latent_diffusion,
     "ldm.modules.diffusionmodules.openaimodel.UNetModel": _build_unet,
     "ldm.modules.diffusionmodules.openaimodel.AdaptUNetModel": _build_unet,
+    "controlnet.cldm.cldm.ControlLDM": _build_control_ldm,
+    "cldm.cldm.ControlLDM": _build_control_ldm,
+    "controlnet.cldm.cldm.ControlNet": _build_controlnet,
+    "cldm.cldm.ControlNet": _build_controlnet,
+    "controlnet.cldm.cldm.ControlledUnetModel": _build_controlled_unet,
+    "cldm.cldm.ControlledUnetModel": _build_controlled_unet,
     "ldm.models.autoencoder.AutoencoderKL": _build_autoencoder,
     "ldm.models.autoencoder.NpleAutoencoderKL": _build_autoencoder,
     "ldm.modules.encoders.modules.FrozenCLIPEmbedder": _build_clip,
