@@ -205,7 +205,7 @@ def load_controlnet(
     else:
         vae_params = init(vae, jnp.zeros((1, 256, 256, 3)),
                           sample_posterior=False)
-        clip_params = init(clip, jnp.zeros((1, 77), jnp.int32))
+        clip_params = init(clip, jnp.zeros((1, clip.max_length), jnp.int32))
 
     if ckpt_path:
         sd = ti.load_torch_state_dict(ckpt_path)
@@ -218,7 +218,7 @@ def load_controlnet(
                 vae_params, mv, vae, (jnp.zeros((1, 256, 256, 3)),),
                 {"sample_posterior": False}, label="cn-vae", verbose=verbose)
             clip_params = _fill_missing_from_init(
-                clip_params, mc, clip, (jnp.zeros((1, 77), jnp.int32),),
+                clip_params, mc, clip, (jnp.zeros((1, clip.max_length), jnp.int32),),
                 label="cn-clip", verbose=verbose)
         if verbose:
             print(f"[load_controlnet] {ckpt_path}: missing unet={len(m1)} "
