@@ -733,3 +733,59 @@ def test_pixel_attention_unet_path():
     # (ds=2 is reached after the level-0 downsample → input_blocks_3_1)
     blk = params["params"]["input_blocks_3_1"]
     assert set(blk) == {"norm", "qkv", "proj_out"}, sorted(blk)
+
+
+def test_pixel_attention_unet_full_parity(torch_ref):
+    """Whole pixel-attention UNet (use_spatial_transformer=False,
+    unconditional) vs the reference torch UNet after checkpoint ingest —
+    the non-LDM DDPM configuration end to end."""
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.modules.diffusionmodules.openaimodel import (
+        UNetModel as TorchUNet,
+    )
+
+    from fgdm_tpu.checkpoint.torch_ingest import ingest_unet
+    from fgdm_tpu.models.unet import UNetModel
+
+    torch.manual_seed(0)
+    tnet = TorchUNet(
+        image_size=16, in_channels=3, out_channels=3, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_heads=4, use_spatial_transformer=False, context_dim=None,
+        no_prompting=True,
+    ).eval()
+    # zero-init heads (out conv, attn proj_out) make most of the net inert —
+    # randomize for a discriminating comparison
+    with torch.no_grad():
+        for n, p in tnet.named_parameters():
+            if p.abs().max() == 0:
+                p.normal_(0, 0.05)
+    sd = {f"model.diffusion_model.{k}": v.detach().numpy()
+          for k, v in tnet.state_dict().items()}
+
+    unet = UNetModel(in_channels=3, out_channels=3, model_channels=32,
+                     num_heads=4, context_dim=None, channel_mult=(1, 2),
+                     attention_resolutions=(1, 2), num_res_blocks=1,
+                     use_spatial_transformer=False, use_adapter=False,
+                     dtype=jnp.float32)
+    expect = jax.eval_shape(
+        lambda: unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                          jnp.zeros((1,), jnp.int32)))
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([5, 900])
+
+    def apply_torch():
+        with torch.no_grad():
+            out = tnet(torch.from_numpy(x), timesteps=torch.from_numpy(t))
+        return out.numpy().transpose(0, 2, 3, 1)
+
+    def apply_ours(params):
+        return unet.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          jnp.asarray(t))
+
+    _ingest_and_compare(expect, sd, ingest_unet, apply_ours, apply_torch,
+                        atol=2e-4)
