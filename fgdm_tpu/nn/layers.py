@@ -21,8 +21,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # Pallas direct 3×3 conv for VMEM-resident planes (kernels/conv.py);
-# default off until the on-chip A/B proves it for the deployed shapes.
+# measured slower than XLA convs in the chain A/B (NEXT.md) — off.
 _PALLAS_CONV = os.environ.get("FGDM_PALLAS_CONV", "0") == "1"
+# Winograd F(2,3) reformulation (kernels/winograd.py): 2.25× fewer MXU
+# FLOPs per 3×3 conv; parity-tested, awaiting an on-chip chain A/B — off.
+_WINOGRAD_CONV = os.environ.get("FGDM_WINOGRAD_CONV", "0") == "1"
 
 Dtype = Any
 
@@ -154,6 +157,16 @@ class Conv2d(nn.Module):
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
                 return conv3x3(xk, kernel.astype(self.dtype), bias)
+        if _WINOGRAD_CONV and k == 3 and self.stride == 1 and self.use_bias \
+                and pad in ("SAME", [(1, 1), (1, 1)]):
+            from fgdm_tpu.kernels.winograd import (conv3x3_winograd,
+                                                   winograd_ok)
+
+            xk = x.astype(self.dtype)
+            if winograd_ok(xk.shape, kernel.shape):
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                return conv3x3_winograd(xk, kernel.astype(self.dtype), bias)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fgdm_tpu.kernels.conv import _conv3x3_fwd, _xla_conv3x3, conv3x3_ok  # noqa: E402
+from fgdm_tpu.kernels.winograd import conv3x3_winograd, winograd_ok  # noqa: E402
 
 ITERS = int(os.environ.get("FGDM_BENCH_ITERS", "30"))
 
@@ -71,6 +72,13 @@ def main():
             row["pallas_ms"] = round(t_pl * 1e3, 3)
             row["pallas_tflops"] = round(flops / t_pl / 1e12, 1)
             row["speedup"] = round(t_xla / t_pl, 3)
+        if winograd_ok(x.shape, w.shape):
+            t_wg = bench(conv3x3_winograd, x, w, b)
+            row["winograd_ms"] = round(t_wg * 1e3, 3)
+            # effective TFLOP/s vs the DIRECT conv's flop count (what the
+            # chain saves); Winograd's own multiply count is 16/36 of it
+            row["winograd_eff_tflops"] = round(flops / t_wg / 1e12, 1)
+            row["winograd_speedup"] = round(t_xla / t_wg, 3)
         print(json.dumps(row), flush=True)
 
 
