@@ -134,7 +134,9 @@ def default_scorer_factory(opt):
                       or "text_projection" in k or "logit_scale" in k)}
     vparams = strict_ingest(vis_sd, vp, "vision")
     tparams = strict_ingest(txt_sd, tp, "text")
-    proj = sd.get("text_projection") or sd.get("text_projection.weight")
+    # explicit membership test: `or` on a numpy array raises on truthiness
+    proj = (sd["text_projection"] if "text_projection" in sd
+            else sd.get("text_projection.weight"))
     if proj is None:
         raise SystemExit("[eval] CLIP ckpt lacks text_projection")
     proj = np.asarray(proj, np.float32)

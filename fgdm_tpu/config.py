@@ -142,10 +142,15 @@ def _data_module(**params):
 def _image_logger(**params):
     from fgdm_tpu.train.metrics import ImageLogger
 
+    import jax
+
     return lambda logdir: ImageLogger(
         logdir,
         batch_frequency=params.get("batch_frequency", 800),
         max_images=params.get("max_images", 8),
+        # multihost: only the coordinator samples/writes (same rank gate as
+        # the CLI's --img_log_freq path)
+        is_main_process=jax.process_index() == 0,
     )
 
 

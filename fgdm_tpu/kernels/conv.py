@@ -65,7 +65,8 @@ def _scoped_vmem(h, w, c, co, bh, bco, itemsize):
 def _pick_blocks(h, w, c, co, itemsize):
     # Mosaic block rule: a blocked (non-full) minor dim must be a multiple
     # of 128 (lanes).  Candidates: co itself, else 128-multiple divisors.
-    cands = [co] + [m for m in range(co - 128, 127, -128) if co % m == 0]
+    cands = [co] + [m for m in range(co - 128, 127, -128)
+                    if co % m == 0 and m % 128 == 0]
     bco = cands[-1]
     for m in cands:
         if 9 * c * m * itemsize <= 4 * 1024 * 1024:

@@ -132,6 +132,12 @@ class CrossAttention(nn.Module):
             # discarded by the consumer — skip the score einsum entirely
             out = multihead_attention(qh, kh, vh, scale)
         elif capture:
+            # capture materializes an [B,Nq,Nk] score map — on a
+            # context-parallel model (seq_axis set) that would silently
+            # departition/all-gather an N² tensor instead of ringing
+            assert self.seq_axis is None or is_cross, (
+                "attention capture is not supported on a context-parallel "
+                "model (token axis is sharded; the score map is global)")
             pool = spec.self_pool if (spec is not None and not is_cross) else 1
             out, probs = attention_with_scores(qh, kh, vh, scale, pool_kq=pool)
         elif self.seq_axis is not None and not is_cross:

@@ -27,6 +27,7 @@ Usage:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +50,15 @@ def context_parallel_pipeline(ld, mesh: Mesh, axis: str = AXIS):
     ``seq_axis`` threaded into every attention module, Pallas fused kernels
     off.  Registers ``mesh`` for the ring-attention islands."""
     set_context_mesh(mesh)
+    # the env-gated Pallas conv is also a custom call XLA cannot partition;
+    # it reads a process global at trace time, so clear it here (the flag is
+    # an A/B knob, default off — losing it process-wide under CP is correct)
+    import fgdm_tpu.nn.layers as _nl
+
+    if _nl._PALLAS_CONV:
+        print("[context_parallel] disabling FGDM_PALLAS_CONV: Pallas conv "
+              "custom calls cannot be GSPMD-partitioned")
+        _nl._PALLAS_CONV = False
     updates = {"seq_axis": axis}
     if getattr(ld.unet_def, "fused_norm_silu", False):
         updates["fused_norm_silu"] = False
@@ -104,17 +114,30 @@ def sample_context_parallel(
         jax.random.normal(init_rng, shape, jnp.float32),
         _h_sharding(mesh, axis))
 
-    @jax.jit
-    def run(ld, rng, c, uc, x_T):
-        z, _ = ddim_sample(
-            ld.denoise_fn(), rng, shape, sched,
-            {"c_crossattn": c}, {"c_crossattn": uc},
-            cfg_scale=cfg_scale, x_T=x_T)
-        if decode:
-            return ld.decode_first_stage(z)
-        return z
+    # module-level jit (not a per-call closure): repeated requests reuse the
+    # compiled GSPMD program instead of paying the multi-minute partition
+    # compile every time
+    return _cp_sample(ld, rng, cond_ctx, uncond_ctx, x_T, sched,
+                      float(cfg_scale), bool(decode), int(num_steps))
 
-    return run(ld, rng, cond_ctx, uncond_ctx, x_T)
+
+@functools.partial(jax.jit, static_argnames=("cfg_scale", "decode",
+                                              "num_steps"))
+def _cp_sample(ld, rng, c, uc, x_T, sched, cfg_scale, decode, num_steps):
+    from fgdm_tpu.sampling.ddim import ddim_sample
+
+    z, _ = ddim_sample(
+        ld.denoise_fn(), rng, x_T.shape, sched,
+        {"c_crossattn": c}, {"c_crossattn": uc},
+        cfg_scale=cfg_scale, x_T=x_T)
+    if decode:
+        return ld.decode_first_stage(z)
+    return z
+
+
+@jax.jit
+def _cp_decode(ld, z):
+    return ld.decode_first_stage(z)
 
 
 def decode_context_parallel(ld, mesh: Mesh, z: jnp.ndarray,
@@ -122,9 +145,4 @@ def decode_context_parallel(ld, mesh: Mesh, z: jnp.ndarray,
     """VAE-decode an H-sharded latent over the mesh (large-image decode
     without the single-chip tiling of ``sampling/tiled.py``)."""
     z = jax.device_put(z, _h_sharding(mesh, axis))
-
-    @jax.jit
-    def run(ld, z):
-        return ld.decode_first_stage(z)
-
-    return run(ld, z)
+    return _cp_decode(ld, z)

@@ -41,6 +41,18 @@ def quantize_like_png(img01: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(img01, 0.0, 1.0) * 255.0) / 255.0
 
 
+def condition_to_hint(cond_img: jnp.ndarray,
+                      out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """[0,1] condition map → hint: the reference's uint8 PNG hop between
+    factors (quantize) + bilinear resize to the render resolution.  The ONE
+    implementation of this block — fgdm_chain/fgdm_chain_n/serving all call
+    it, so the staged path's bit-identity with the fused chain holds by
+    construction."""
+    hint = quantize_like_png(cond_img)
+    b, _, _, c = hint.shape
+    return jax.image.resize(hint, (b, out_hw[0], out_hw[1], c), "bilinear")
+
+
 def latent_to_condition_image(
     ld: LatentDiffusion, samples: jnp.ndarray, out_hw: Tuple[int, int]
 ) -> jnp.ndarray:
@@ -48,10 +60,7 @@ def latent_to_condition_image(
     with the reference's uint8 quantization hop."""
     x = ld.decode_first_stage(samples)
     img01 = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
-    img01 = quantize_like_png(img01)
-    b, h, w, c = img01.shape
-    img01 = jax.image.resize(img01, (b, out_hw[0], out_hw[1], c), "bilinear")
-    return img01
+    return condition_to_hint(img01, out_hw)
 
 
 def sample_condition_factor(
@@ -189,10 +198,7 @@ def fgdm_chain_n(
     image = None
     if cldm is not None:
         rng, r2 = jax.random.split(rng)
-        hint = quantize_like_png(conditions[-1])
-        b, h, w, c = hint.shape
-        hint = jax.image.resize(hint, (b, image_hw[0], image_hw[1], c),
-                                "bilinear")
+        hint = condition_to_hint(conditions[-1], image_hw)
         z_img = sample_image_factor(
             cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
             num_steps=f2_steps, cfg_scale=f2_scale,
@@ -231,10 +237,7 @@ def fgdm_chain(
     cond_img = jnp.clip(
         (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0
     )
-    hint = quantize_like_png(cond_img)
-    b, h, w, c = hint.shape
-    hint = jax.image.resize(hint, (b, image_hw[0], image_hw[1], c),
-                            "bilinear")
+    hint = condition_to_hint(cond_img, image_hw)
     z_img = sample_image_factor(
         cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
         num_steps=f2_steps, cfg_scale=f2_scale,

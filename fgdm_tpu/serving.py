@@ -48,8 +48,8 @@ from fgdm_tpu.models.clip import CLIPTokenizer
 from fgdm_tpu.sampling.chain import (
     A_PROMPT,
     N_PROMPT,
+    condition_to_hint,
     fgdm_chain,
-    quantize_like_png,
     sample_condition_factor,
     sample_image_factor,
 )
@@ -100,11 +100,7 @@ class ChainEngine:
         def dec_hint(ld, z_cond):
             cond_img = jnp.clip(
                 (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0)
-            hint = quantize_like_png(cond_img)
-            b, _, _, c = hint.shape
-            hint = jax.image.resize(
-                hint, (b, self.image_hw[0], self.image_hw[1], c), "bilinear")
-            return cond_img, hint
+            return cond_img, condition_to_hint(cond_img, self.image_hw)
 
         def f2(cldm, r2, hint, cnp_ctx, cnn_ctx):
             return sample_image_factor(

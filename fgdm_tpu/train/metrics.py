@@ -67,15 +67,17 @@ def make_grid(images: np.ndarray, nrow: int = 4, pad: int = 2) -> np.ndarray:
 
 
 def denoise_row_grid(x_inter: np.ndarray, decode_fn=None) -> np.ndarray:
-    """[S,B,H,W,C] intermediates → one grid row per sample."""
+    """[S,B,H,W,C] intermediates → one grid row per sample.
+
+    All S·B frames decode in ONE batched call — per-frame batch-1 decodes
+    cost ~50 separate eager VAE dispatches per log step."""
     S, B = x_inter.shape[:2]
-    imgs = []
-    for b in range(B):
-        for s in range(S):
-            frame = x_inter[s, b]
-            if decode_fn is not None:
-                frame = np.asarray(decode_fn(frame[None]))[0]
-            imgs.append(to_uint8(frame))
+    frames = np.asarray(x_inter)
+    if decode_fn is not None:
+        flat = np.asarray(decode_fn(
+            frames.reshape((S * B,) + frames.shape[2:])))
+        frames = flat.reshape((S, B) + flat.shape[1:])
+    imgs = [to_uint8(frames[s, b]) for b in range(B) for s in range(S)]
     return make_grid(np.stack(imgs), nrow=S)
 
 
@@ -172,7 +174,9 @@ def log_images(
     out["inputs"] = np.asarray(img)
     z = ld.encode_first_stage(img)
     out["reconstruction"] = np.asarray(ld.decode_first_stage(z))
-    caps = batch.get("captions") or batch.get("caption")
+    caps = batch.get("captions")
+    if caps is None:
+        caps = batch.get("caption")
     if caps is not None:
         out["conditioning"] = log_txt_as_img(
             (img.shape[2], img.shape[1]), list(caps)[:n])

@@ -41,10 +41,13 @@ def bench(fn, x, w, b, iters=ITERS):
     def loop(x0):
         def body(_, xc):
             y = fn(xc, w, b)
-            # feed output back (same shape when C == Co, else re-project)
+            # feed output back (same shape when C == Co, else re-project:
+            # tile/crop the channel axis so Co < C also broadcasts)
             if y.shape == xc.shape:
                 return y
-            return xc + y[..., : xc.shape[-1]] * 1e-6
+            c = xc.shape[-1]
+            reps = -(-c // y.shape[-1])
+            return xc + jnp.tile(y, (1, 1, 1, reps))[..., :c] * 1e-6
         return jax.lax.fori_loop(0, iters, body, x0)
 
     j = jax.jit(loop)
