@@ -267,9 +267,9 @@ class UniformerDetector:
             lambda p, x: jnp.argmax(self.model.apply(p, x), axis=-1)
         )
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
-        from fgdm_tpu.data.colorize import ade_cmap, colorize
-
+    def labels(self, img: np.ndarray) -> np.ndarray:
+        """uint8 [B,H,W,3] (or HWC) → ADE label map [B,H,W] int32 (0..149),
+        argmax at the model resolution, nearest-resized back."""
         single = img.ndim == 3
         if single:
             img = img[None]
@@ -283,5 +283,11 @@ class UniformerDetector:
             jax.image.resize(jnp.asarray(seg)[..., None].astype(jnp.float32),
                              (b, h, w, 1), "nearest")
         )[..., 0].astype(np.int32)
+        return seg[0] if single else seg
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        from fgdm_tpu.data.colorize import ade_cmap, colorize
+
+        seg = self.labels(img)
         rgb = colorize(seg, ade_cmap()[1:])  # ade palette sans background
-        return rgb[0] if single else rgb
+        return rgb

@@ -11,12 +11,14 @@ user must glue generation and scoring by hand.  Here one command either
   offline workflow.
 
 Metrics land as one JSON object (stdout + ``--out``):
-``{"clip_score": ..., "fid": ..., "n_images": N, "fid_backend": ...}``.
+``{"clip_score": ..., "fid": ..., "miou": ..., "n_images": N, ...}``.
 FID needs ``--ref_dir`` (real images); the backend is InceptionV3-pool3
 when ``--inception_ckpt`` is given (standard FID), else the CLIP tower
-(CLIP-FID).  Fails loud when weights or the CLIP vocab are absent — a
-hash-fallback tokenizer or random towers would silently produce garbage
-metrics.
+(CLIP-FID).  mIoU — the FG-DM paper's condition-adherence metric — needs
+``--cond_dir`` (the requested colorized seg maps) + ``--seg_ckpt``
+(UniFormer weights to re-segment the generated images).  Fails loud when
+weights or the CLIP vocab are absent — a hash-fallback tokenizer or
+random towers would silently produce garbage metrics.
 """
 
 from __future__ import annotations
@@ -52,6 +54,14 @@ def get_parser() -> argparse.ArgumentParser:
                         "CLIP score pairs images (sorted) with prompts")
     p.add_argument("--ref_dir", type=str, default=None,
                    help="real-image directory (enables FID)")
+    p.add_argument("--cond_dir", type=str, default=None,
+                   help="requested condition maps (colorized ADE seg, "
+                        "sorted to pair with the images) — enables the "
+                        "mIoU adherence metric: generated images are "
+                        "re-segmented and compared against these maps")
+    p.add_argument("--seg_ckpt", type=str, default=None,
+                   help="UniFormer seg checkpoint used to re-annotate "
+                        "generated images for mIoU")
     # metric backends
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP checkpoint (vision+text towers) for the "
@@ -66,8 +76,11 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_dir_images(d: str, size: Optional[int] = None) -> "np.ndarray":
-    """PNG/JPG directory → [N,H,W,3] float in [0,1] (sorted order)."""
+def _load_dir_images(d: str, size: Optional[int] = None,
+                     nearest: bool = False) -> "np.ndarray":
+    """PNG/JPG directory → [N,H,W,3] float in [0,1] (sorted order).
+    ``nearest=True`` for label-colorized maps (bicubic would blend palette
+    colors into off-palette pixels)."""
     import numpy as np
     from PIL import Image
 
@@ -80,7 +93,8 @@ def _load_dir_images(d: str, size: Optional[int] = None) -> "np.ndarray":
     for f in files:
         im = Image.open(f).convert("RGB")
         if size is not None:
-            im = im.resize((size, size), Image.BICUBIC)
+            im = im.resize((size, size),
+                           Image.NEAREST if nearest else Image.BICUBIC)
         ims.append(np.asarray(im, np.float32) / 255.0)
     if size is None:
         hw = ims[0].shape
@@ -164,6 +178,67 @@ def default_fid_backend(opt, scorer) -> Tuple[Callable, int, str]:
     return fn, dim, "clip"
 
 
+def default_segmenter_factory(opt):
+    """Build the mIoU re-annotator from ``--seg_ckpt`` → (labels_fn,
+    num_classes, palette).  ``labels_fn`` maps [B,H,W,3] float [0,1] →
+    [B,H,W] int32 ADE labels.  Fails loud without real weights — adherence
+    scored by a random segmenter is meaningless."""
+    import numpy as np
+
+    if not (opt.seg_ckpt and os.path.exists(opt.seg_ckpt)):
+        raise SystemExit(
+            "[eval] --cond_dir needs --seg_ckpt (UniFormer weights) to "
+            "re-segment generated images for mIoU")
+    import jax
+    import jax.numpy as jnp
+
+    from fgdm_tpu.annotators.uniformer import (UniFormerSeg,
+                                               UniformerDetector)
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_uniformer
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+    from fgdm_tpu.data.colorize import ade_cmap
+
+    model = UniFormerSeg()
+    expect = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    params, missing, unexpected = ingest_uniformer(
+        load_torch_state_dict(opt.seg_ckpt), expect=expect)
+    if missing or unexpected:
+        raise SystemExit(
+            f"[eval] UniFormer ingest failed: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:3]})")
+    det = UniformerDetector(jax.tree.map(jnp.asarray, params), model)
+
+    def labels_fn(img01: np.ndarray) -> np.ndarray:
+        return det.labels(
+            (np.clip(img01, 0.0, 1.0) * 255).astype(np.uint8))
+
+    return labels_fn, det.model.num_classes, ade_cmap()[1:]
+
+
+def _miou(opt, imgs, segmenter_factory) -> Tuple[float, int]:
+    """Re-segment ``imgs`` and score against the ``--cond_dir`` maps."""
+    import numpy as np
+
+    from fgdm_tpu.utils.seg_metrics import (confusion_matrix,
+                                            labels_from_colorized,
+                                            miou_from_confusion)
+
+    labels_fn, num_classes, cmap = segmenter_factory(opt)
+    conds = _load_dir_images(opt.cond_dir, size=imgs.shape[1], nearest=True)
+    if len(conds) != len(imgs):
+        raise SystemExit(
+            f"[eval] {len(imgs)} images vs {len(conds)} condition maps — "
+            "mIoU pairs them in sorted order")
+    gt = labels_from_colorized(conds, cmap)
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for i in range(0, len(imgs), 8):
+        pred = labels_fn(imgs[i:i + 8])
+        cm += confusion_matrix(pred, gt[i:i + 8], num_classes)
+    return miou_from_confusion(cm)
+
+
 def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
     """Sample images for the prompts → ([N,H,W,3] in [0,1], prompts)."""
     import jax
@@ -232,13 +307,22 @@ def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
 
 def main(argv: Optional[Sequence[str]] = None,
          scorer_factory=default_scorer_factory,
-         fid_backend_factory=default_fid_backend) -> dict:
+         fid_backend_factory=default_fid_backend,
+         segmenter_factory=default_segmenter_factory) -> dict:
     opt = get_parser().parse_args(argv)
 
     import jax.numpy as jnp
     import numpy as np
 
-    scorer, tok = scorer_factory(opt)
+    # the CLIP towers are only needed for CLIP score, CLIP-FID, or
+    # generation — an mIoU-only or Inception-FID run must not demand
+    # --clip_ckpt
+    _clip = {}
+
+    def clip_backend():
+        if not _clip:
+            _clip["scorer"], _clip["tok"] = scorer_factory(opt)
+        return _clip["scorer"], _clip["tok"]
 
     if opt.images_dir:
         imgs = _load_dir_images(opt.images_dir)
@@ -253,10 +337,16 @@ def main(argv: Optional[Sequence[str]] = None,
                 f"[eval] {len(imgs)} images vs {len(prompts)} prompts — "
                 "CLIP score needs one prompt per (sorted) image")
     else:
-        imgs, prompts = _generate(opt, tok)
+        imgs, prompts = _generate(opt, clip_backend()[1])
+
+    if not (prompts or opt.ref_dir or opt.cond_dir):
+        raise SystemExit(
+            "[eval] nothing to score: give prompts (--prompt/--from-file) "
+            "for CLIP score, --ref_dir for FID, or --cond_dir for mIoU")
 
     metrics: dict = {"n_images": int(imgs.shape[0])}
     if prompts:
+        scorer, tok = clip_backend()
         ids = jnp.asarray(tok(prompts))
         scores = []
         for i in range(0, len(prompts), 16):
@@ -267,7 +357,8 @@ def main(argv: Optional[Sequence[str]] = None,
     if opt.ref_dir:
         from fgdm_tpu.utils.fid import compute_fid
 
-        feat_fn, dim, backend = fid_backend_factory(opt, scorer)
+        feat_fn, dim, backend = fid_backend_factory(
+            opt, None if opt.inception_ckpt else clip_backend()[0])
         real = _load_dir_images(opt.ref_dir)
 
         def batches(arr, bs=16):
@@ -277,6 +368,11 @@ def main(argv: Optional[Sequence[str]] = None,
         metrics["fid"] = float(compute_fid(
             batches(real), batches(imgs), feat_fn, dim))
         metrics["fid_backend"] = backend
+
+    if opt.cond_dir:
+        miou, n_classes = _miou(opt, imgs, segmenter_factory)
+        metrics["miou"] = miou
+        metrics["miou_classes"] = n_classes
 
     line = json.dumps(metrics)
     print(line)

@@ -72,6 +72,9 @@ def test_eval_requires_clip_ckpt(tmp_path):
     gen = str(tmp_path / "gen")
     _write_images(gen, 2, 0)
     with pytest.raises(SystemExit, match="clip_ckpt is required"):
+        eval_cli.main(["--images_dir", gen, "--prompt", "x"])
+    # no prompts, no ref_dir, no cond_dir: nothing to compute
+    with pytest.raises(SystemExit, match="nothing to score"):
         eval_cli.main(["--images_dir", gen])
 
 
@@ -102,3 +105,85 @@ def test_eval_generates_and_scores(tmp_path, monkeypatch):
     assert m["n_images"] == 3
     assert -1.0 <= m["clip_score"] <= 1.0
     assert len(os.listdir(outdir)) == 3
+
+
+# ---------------------------------------------------------------- mIoU ----
+
+def _toy_segmenter_factory(opt):
+    """'Segmenter' that decodes the image itself as a colorized label map —
+    scoring an image against its own colorization gives mIoU 1.0."""
+    from fgdm_tpu.data.colorize import ade_cmap
+    from fgdm_tpu.utils.seg_metrics import labels_from_colorized
+
+    cmap = ade_cmap()[1:]
+    return (lambda img01: labels_from_colorized(img01 * 255.0, cmap),
+            150, cmap)
+
+
+def _write_seg_maps(d, n, seed, size=32, num_classes=8):
+    from fgdm_tpu.data.colorize import ade_cmap, colorize
+
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    labs = rng.integers(0, num_classes, (n, size, size))
+    for i in range(n):
+        Image.fromarray(colorize(labs[i], ade_cmap()[1:])).save(
+            os.path.join(d, f"{i:03}.png"))
+    return labs
+
+
+def test_miou_math():
+    from fgdm_tpu.utils.seg_metrics import (confusion_matrix,
+                                            miou_from_confusion)
+
+    gt = np.array([[0, 0, 1, 1]])
+    pred = np.array([[0, 1, 1, 1]])
+    cm = confusion_matrix(pred, gt, 3)
+    # class0: inter 1, union 2 → 0.5; class1: inter 2, union 3 → 2/3
+    miou, n = miou_from_confusion(cm)
+    assert n == 2
+    np.testing.assert_allclose(miou, (0.5 + 2.0 / 3.0) / 2, rtol=1e-12)
+    # ignore label drops pixels; out-of-range raises
+    cm2 = confusion_matrix(pred, np.array([[0, 255, 1, 1]]), 3,
+                           ignore_label=255)
+    assert cm2.sum() == 3
+    with pytest.raises(ValueError, match="outside"):
+        confusion_matrix(np.array([5]), np.array([0]), 3)
+
+
+def test_eval_miou_cli(tmp_path):
+    gen, cond = str(tmp_path / "gen"), str(tmp_path / "cond")
+    labs = _write_seg_maps(gen, 4, seed=0)
+    # identical maps as the requested conditions → perfect adherence
+    _write_seg_maps(cond, 4, seed=0)
+    m = eval_cli.main(["--images_dir", gen, "--cond_dir", cond],
+                      scorer_factory=_toy_scorer_factory,
+                      segmenter_factory=_toy_segmenter_factory)
+    assert m["miou"] == pytest.approx(1.0)
+    assert m["miou_classes"] == len(np.unique(labs))
+    # different maps → strictly worse
+    cond2 = str(tmp_path / "cond2")
+    _write_seg_maps(cond2, 4, seed=7)
+    m2 = eval_cli.main(["--images_dir", gen, "--cond_dir", cond2],
+                       scorer_factory=_toy_scorer_factory,
+                       segmenter_factory=_toy_segmenter_factory)
+    assert m2["miou"] < 0.5
+
+
+def test_eval_miou_count_mismatch(tmp_path):
+    gen, cond = str(tmp_path / "gen"), str(tmp_path / "cond")
+    _write_seg_maps(gen, 3, seed=0)
+    _write_seg_maps(cond, 2, seed=0)
+    with pytest.raises(SystemExit, match="3 images vs 2 condition maps"):
+        eval_cli.main(["--images_dir", gen, "--cond_dir", cond],
+                      scorer_factory=_toy_scorer_factory,
+                      segmenter_factory=_toy_segmenter_factory)
+
+
+def test_eval_miou_requires_seg_ckpt(tmp_path):
+    gen, cond = str(tmp_path / "gen"), str(tmp_path / "cond")
+    _write_seg_maps(gen, 2, seed=0)
+    _write_seg_maps(cond, 2, seed=0)
+    with pytest.raises(SystemExit, match="seg_ckpt"):
+        eval_cli.main(["--images_dir", gen, "--cond_dir", cond],
+                      scorer_factory=_toy_scorer_factory)
