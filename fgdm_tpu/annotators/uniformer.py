@@ -291,3 +291,25 @@ class UniformerDetector:
         seg = self.labels(img)
         rgb = colorize(seg, ade_cmap()[1:])  # ade palette sans background
         return rgb
+
+
+def load_uniformer(ckpt_path: str, input_size: int = 512,
+                   dtype=jnp.float32) -> UniformerDetector:
+    """Strict loader: upernet_global_small torch checkpoint → ready
+    UniformerDetector.  Raises on any missing/unexpected key — a silently
+    part-random segmentor would fake plausible maps."""
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_uniformer
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    model = UniFormerSeg(dtype=dtype)
+    expect = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    params, missing, unexpected = ingest_uniformer(
+        load_torch_state_dict(ckpt_path), expect=expect)
+    if missing or unexpected:
+        raise ValueError(
+            f"UniFormer ingest from {ckpt_path}: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:3]})")
+    return UniformerDetector(jax.tree.map(jnp.asarray, params), model,
+                             input_size=input_size)

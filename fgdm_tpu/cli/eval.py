@@ -189,26 +189,13 @@ def default_segmenter_factory(opt):
         raise SystemExit(
             "[eval] --cond_dir needs --seg_ckpt (UniFormer weights) to "
             "re-segment generated images for mIoU")
-    import jax
-    import jax.numpy as jnp
-
-    from fgdm_tpu.annotators.uniformer import (UniFormerSeg,
-                                               UniformerDetector)
-    from fgdm_tpu.checkpoint.annotator_ingest import ingest_uniformer
-    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+    from fgdm_tpu.annotators.uniformer import load_uniformer
     from fgdm_tpu.data.colorize import ade_cmap
 
-    model = UniFormerSeg()
-    expect = jax.eval_shape(lambda: model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
-    params, missing, unexpected = ingest_uniformer(
-        load_torch_state_dict(opt.seg_ckpt), expect=expect)
-    if missing or unexpected:
-        raise SystemExit(
-            f"[eval] UniFormer ingest failed: {len(missing)} missing "
-            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
-            f"(e.g. {unexpected[:3]})")
-    det = UniformerDetector(jax.tree.map(jnp.asarray, params), model)
+    try:
+        det = load_uniformer(opt.seg_ckpt)
+    except ValueError as e:
+        raise SystemExit(f"[eval] {e}")
 
     def labels_fn(img01: np.ndarray) -> np.ndarray:
         return det.labels(

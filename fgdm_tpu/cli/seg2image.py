@@ -47,6 +47,10 @@ def get_parser():
     p.add_argument("--detect", action="store_true",
                    help="run the UniFormer annotator on sample1 images "
                         "instead of using sample2 maps")
+    p.add_argument("--seg_ckpt", type=str, default=None,
+                   help="UniFormer weights for --detect (upernet_global_"
+                        "small torch ckpt); without it the detector is "
+                        "random-init (debug only)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--precision", type=str, default="autocast")
     return p
@@ -105,17 +109,25 @@ def main(argv=None):
     detector = None
     if opt.detect:
         from fgdm_tpu.annotators.uniformer import (UniFormerSeg,
-                                                   UniformerDetector)
-        seg_model = UniFormerSeg(dtype=dtype)
-        params = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(lambda: seg_model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 512, 512, 3)))),
-        )
-        detector = UniformerDetector(params, seg_model)
-        print("[seg2image] NOTE: UniFormer weights are random-init unless "
-              "ingested; pass precomputed maps for real use")
+                                                   UniformerDetector,
+                                                   load_uniformer)
+
+        if opt.seg_ckpt:
+            detector = load_uniformer(opt.seg_ckpt,
+                                      input_size=opt.detect_resolution,
+                                      dtype=dtype)
+        else:
+            seg_model = UniFormerSeg(dtype=dtype)
+            params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(lambda: seg_model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 512, 512, 3)))),
+            )
+            detector = UniformerDetector(params, seg_model,
+                                         input_size=opt.detect_resolution)
+            print("[seg2image] NOTE: UniFormer weights are random-init — "
+                  "pass --seg_ckpt or precomputed maps for real use")
 
     run = jax.jit(
         lambda cldm, hint, rng: cldm.decode_first_stage(
