@@ -356,3 +356,22 @@ class MidasDetector:
         depth01 = (depth - dmin) / (dmax - dmin + 1e-8)
         normal = depth_to_normal(depth, a=a, bg_th=bg_th)
         return depth01, normal
+
+
+def load_midas(ckpt_path: str, dtype=jnp.float32) -> MidasDetector:
+    """Strict loader: dpt_hybrid-midas torch checkpoint → ready
+    MidasDetector.  Raises on any missing/unexpected key."""
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_midas
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    model = DPTHybrid(dtype=dtype)
+    expect = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3))))
+    params, missing, unexpected = ingest_midas(
+        load_torch_state_dict(ckpt_path), expect=expect)
+    if missing or unexpected:
+        raise ValueError(
+            f"MiDaS ingest from {ckpt_path}: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:3]})")
+    return MidasDetector(jax.tree.map(jnp.asarray, params), model)

@@ -62,6 +62,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seg_ckpt", type=str, default=None,
                    help="UniFormer seg checkpoint used to re-annotate "
                         "generated images for mIoU")
+    p.add_argument("--depth_dir", type=str, default=None,
+                   help="requested depth maps (grayscale, sorted to pair "
+                        "with the images) — enables scale-shift-invariant "
+                        "depth adherence via MiDaS re-annotation")
+    p.add_argument("--midas_ckpt", type=str, default=None,
+                   help="MiDaS dpt_hybrid checkpoint for --depth_dir")
     # metric backends
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP checkpoint (vision+text towers) for the "
@@ -226,6 +232,61 @@ def _miou(opt, imgs, segmenter_factory) -> Tuple[float, int]:
     return miou_from_confusion(cm)
 
 
+def default_depth_factory(opt):
+    """--midas_ckpt → depth_fn: [B,H,W,3] float [0,1] → [B,H,W] relative
+    inverse depth in [0,1] (MiDaS convention, run at 384²)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if not (opt.midas_ckpt and os.path.exists(opt.midas_ckpt)):
+        raise SystemExit(
+            "[eval] --depth_dir needs --midas_ckpt (MiDaS dpt_hybrid "
+            "weights) to re-estimate depth from generated images")
+    from fgdm_tpu.annotators.midas import load_midas
+
+    try:
+        det = load_midas(opt.midas_ckpt)
+    except ValueError as e:
+        raise SystemExit(f"[eval] {e}")
+
+    def depth_fn(img01: np.ndarray) -> np.ndarray:
+        b = img01.shape[0]
+        x = jax.image.resize(
+            jnp.asarray(img01, jnp.float32) * 2.0 - 1.0,
+            (b, 384, 384, 3), "bilinear")
+        depth01, _ = det(x)
+        return np.asarray(depth01)
+
+    return depth_fn
+
+
+def _depth(opt, imgs, depth_factory) -> dict:
+    """Re-estimate depth from ``imgs`` and score vs ``--depth_dir`` maps."""
+    import numpy as np
+
+    from fgdm_tpu.utils.depth_metrics import depth_adherence
+
+    depth_fn = depth_factory(opt)
+    conds = _load_dir_images(opt.depth_dir)
+    if len(conds) != len(imgs):
+        raise SystemExit(
+            f"[eval] {len(imgs)} images vs {len(conds)} depth maps — "
+            "adherence pairs them in sorted order")
+    gt = conds.mean(-1)  # grayscale depth renders → [N,H,W]
+    preds = []
+    for i in range(0, len(imgs), 8):
+        preds.append(depth_fn(imgs[i:i + 8]))
+    pred = np.concatenate(preds)
+    if pred.shape[1:] != gt.shape[1:]:
+        import jax
+        import jax.numpy as jnp
+
+        gt = np.asarray(jax.image.resize(
+            jnp.asarray(gt), (gt.shape[0],) + pred.shape[1:], "bilinear"))
+    return depth_adherence(pred, gt)
+
+
 def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
     """Sample images for the prompts → ([N,H,W,3] in [0,1], prompts)."""
     import jax
@@ -295,7 +356,8 @@ def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
 def main(argv: Optional[Sequence[str]] = None,
          scorer_factory=default_scorer_factory,
          fid_backend_factory=default_fid_backend,
-         segmenter_factory=default_segmenter_factory) -> dict:
+         segmenter_factory=default_segmenter_factory,
+         depth_factory=default_depth_factory) -> dict:
     opt = get_parser().parse_args(argv)
 
     import jax.numpy as jnp
@@ -326,10 +388,11 @@ def main(argv: Optional[Sequence[str]] = None,
     else:
         imgs, prompts = _generate(opt, clip_backend()[1])
 
-    if not (prompts or opt.ref_dir or opt.cond_dir):
+    if not (prompts or opt.ref_dir or opt.cond_dir or opt.depth_dir):
         raise SystemExit(
             "[eval] nothing to score: give prompts (--prompt/--from-file) "
-            "for CLIP score, --ref_dir for FID, or --cond_dir for mIoU")
+            "for CLIP score, --ref_dir for FID, --cond_dir for mIoU, or "
+            "--depth_dir for depth adherence")
 
     metrics: dict = {"n_images": int(imgs.shape[0])}
     if prompts:
@@ -360,6 +423,9 @@ def main(argv: Optional[Sequence[str]] = None,
         miou, n_classes = _miou(opt, imgs, segmenter_factory)
         metrics["miou"] = miou
         metrics["miou_classes"] = n_classes
+
+    if opt.depth_dir:
+        metrics.update(_depth(opt, imgs, depth_factory))
 
     line = json.dumps(metrics)
     print(line)

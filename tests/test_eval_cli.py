@@ -187,3 +187,73 @@ def test_eval_miou_requires_seg_ckpt(tmp_path):
     with pytest.raises(SystemExit, match="seg_ckpt"):
         eval_cli.main(["--images_dir", gen, "--cond_dir", cond],
                       scorer_factory=_toy_scorer_factory)
+
+
+# --------------------------------------------------------------- depth ----
+
+def test_depth_metrics_math():
+    from fgdm_tpu.utils.depth_metrics import (depth_adherence,
+                                              scale_shift_align)
+
+    rng = np.random.default_rng(0)
+    gt = rng.random((2, 8, 8))
+    # pred is an affine transform of gt → perfect after alignment
+    pred = 3.0 * gt - 0.7
+    aligned, a, b = scale_shift_align(pred, gt)
+    np.testing.assert_allclose(aligned, gt, atol=1e-9)
+    np.testing.assert_allclose(a, [1 / 3.0] * 2, atol=1e-9)
+    m = depth_adherence(pred, gt)
+    assert m["depth_rmse_ssi"] < 1e-9
+    # constant prediction falls back to shift-only (per-image mean), so the
+    # pooled error is the RMS of per-image standard deviations
+    mc = depth_adherence(np.full_like(gt, 0.5), gt)
+    want = np.sqrt(np.mean([im.var() for im in gt]))
+    np.testing.assert_allclose(mc["depth_rmse_ssi"], want, atol=1e-9)
+    # masked fit ignores the corrupted pixel
+    bad = pred.copy()
+    bad[:, 0, 0] = 100.0
+    mask = np.ones_like(gt, bool)
+    mask[:, 0, 0] = False
+    aligned2, _, _ = scale_shift_align(bad, gt, mask)
+    np.testing.assert_allclose(aligned2[mask], gt[mask], atol=1e-9)
+
+
+def _write_depth_maps(d, arrs):
+    os.makedirs(d, exist_ok=True)
+    for i, a in enumerate(arrs):
+        Image.fromarray((a * 255).astype(np.uint8)).save(
+            os.path.join(d, f"{i:03}.png"))
+
+
+def test_eval_depth_cli(tmp_path):
+    gen, dep = str(tmp_path / "gen"), str(tmp_path / "dep")
+    rng = np.random.default_rng(3)
+    # "generated images" whose mean channel IS the depth → toy annotator
+    # reproduces the requested maps exactly (quantization-limited)
+    maps = rng.random((3, 32, 32)).astype(np.float32)
+    os.makedirs(gen, exist_ok=True)
+    for i, m in enumerate(maps):
+        rgb = np.repeat(m[..., None], 3, -1)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            os.path.join(gen, f"{i:03}.png"))
+    _write_depth_maps(dep, maps)
+
+    def toy_depth_factory(opt):
+        return lambda img01: img01.mean(-1)
+
+    m = eval_cli.main(["--images_dir", gen, "--depth_dir", dep],
+                      depth_factory=toy_depth_factory)
+    assert m["depth_rmse_ssi"] < 5e-3  # uint8 quantization floor
+    # shuffled depth maps → much worse
+    m2 = eval_cli.main(["--images_dir", gen, "--depth_dir", dep],
+                       depth_factory=lambda o: (
+                           lambda img01: img01.mean(-1)[::-1]))
+    assert m2["depth_rmse_ssi"] > 0.1
+
+
+def test_eval_depth_requires_midas_ckpt(tmp_path):
+    gen, dep = str(tmp_path / "gen"), str(tmp_path / "dep")
+    _write_images(gen, 2, 0)
+    _write_depth_maps(dep, np.random.default_rng(0).random((2, 16, 16)))
+    with pytest.raises(SystemExit, match="midas_ckpt"):
+        eval_cli.main(["--images_dir", gen, "--depth_dir", dep])
