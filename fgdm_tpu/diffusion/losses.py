@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
 from fgdm_tpu.utils.attention_maps import (
-    avg_pool_map_2x,
     get_token_maps,
     kl_distill_loss,
 )

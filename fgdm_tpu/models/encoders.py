@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fgdm_tpu.models.clip import CLIPEncoderLayer, CLIPTextEncoder
-from fgdm_tpu.nn.layers import Conv2d, Dense, LayerNorm32
+from fgdm_tpu.nn.layers import Conv2d, LayerNorm32
 from fgdm_tpu.utils.clip_score import CLIP_MEAN, CLIP_STD, CLIPVisionEncoder
 
 Dtype = Any
