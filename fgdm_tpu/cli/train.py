@@ -105,7 +105,7 @@ def main(argv=None):
                                  load_config, merge_configs)
     from fgdm_tpu.data.dataset import batch_iterator
     from fgdm_tpu.models.clip import CLIPTokenizer
-    from fgdm_tpu.parallel.mesh import (create_mesh,
+    from fgdm_tpu.parallel.mesh import (create_mesh, local_batch_slice,
                                         maybe_initialize_distributed,
                                         replicate, shard_batch)
     from fgdm_tpu.train.condition import build_condition_synth
@@ -293,7 +293,9 @@ def main(argv=None):
 
     loader = ParallelBatchLoader(
         train_ds, batch_size, tokenizer=tokenizer, seed=opt.seed,
-        num_workers=opt.num_workers, prefetch_batches=2 * opt.num_workers)
+        num_workers=opt.num_workers, prefetch_batches=2 * opt.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
     it = device_prefetch(
         ({"image": b["image"], "input_ids": b["input_ids"]}
          for b in loader),
@@ -324,8 +326,8 @@ def main(argv=None):
                     step and step % opt.val_every == 0:
                 vb = next(batch_iterator(val_ds, batch_size,
                                          tokenizer=tokenizer, shuffle=False))
-                vm = eval_fn(state, shard_batch(mesh, {
-                    "image": vb["image"], "input_ids": vb["input_ids"]}),
+                vm = eval_fn(state, shard_batch(mesh, local_batch_slice({
+                    "image": vb["image"], "input_ids": vb["input_ids"]})),
                     jax.random.PRNGKey(0))
                 print("  val:", {k: round(float(v), 4) for k, v in vm.items()})
             mgr.save(step, state_to_pytree(state))
@@ -350,8 +352,8 @@ def main(argv=None):
         nb = 0
         for vb in batch_iterator(val_ds, batch_size, tokenizer=tokenizer,
                                  shuffle=False, epochs=1):
-            vm = eval_fn(state, shard_batch(mesh, {
-                "image": vb["image"], "input_ids": vb["input_ids"]}),
+            vm = eval_fn(state, shard_batch(mesh, local_batch_slice({
+                "image": vb["image"], "input_ids": vb["input_ids"]})),
                 jax.random.PRNGKey(0))
             for k, v in vm.items():
                 agg[k] = agg.get(k, 0.0) + float(v)

@@ -70,7 +70,14 @@ class ParallelBatchLoader:
         epochs: Optional[int] = None,
         num_workers: int = 8,
         prefetch_batches: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is GLOBAL; on a multi-host cluster each process
+        assembles only its contiguous ``batch_size/process_count`` slice of
+        every batch (the rows its addressable devices own under a 'data'
+        sharding), from a shuffle order derived purely from ``seed``/epoch —
+        identical on every host, no coordination needed."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -80,20 +87,35 @@ class ParallelBatchLoader:
         self.epochs = epochs
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = max(1, prefetch_batches)
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide over "
+                f"{process_count} processes")
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} outside "
+                             f"[0, {process_count})")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _index_batches(self):
         rng = np.random.default_rng(self.seed)
         epoch = 0
         n = len(self.dataset)
+        local_bs = self.batch_size // self.process_count
+        lo = self.process_index * local_bs
         while self.epochs is None or epoch < self.epochs:
             order = np.arange(n)
             if self.shuffle:
                 rng.shuffle(order)
             for start in range(0, n, self.batch_size):
                 idxs = order[start:start + self.batch_size]
-                if len(idxs) < self.batch_size and self.drop_last:
-                    break
-                yield epoch, idxs
+                if len(idxs) < self.batch_size:
+                    if self.drop_last:
+                        break
+                    if self.process_count > 1:
+                        # a ragged tail can't split evenly across hosts
+                        break
+                yield epoch, idxs[lo:lo + local_bs]
             epoch += 1
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -125,18 +147,26 @@ def device_prefetch(iterator, mesh=None, size: int = 2,
     immediately and the DMA streams in the background.
     """
     sharding = None
+    multihost = jax.process_count() > 1
     if mesh is not None:
         from fgdm_tpu.parallel.mesh import data_sharding
 
         sharding = data_sharding(mesh)
 
+    def put_one(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if multihost:
+            # x is this host's contiguous batch slice; assemble the global
+            # array from every host's local shards (no cross-host copy)
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     def put(batch):
         out = dict(batch)
         for k in keys:
             if k in out and hasattr(out[k], "shape"):
-                out[k] = (jax.device_put(out[k], sharding)
-                          if sharding is not None
-                          else jax.device_put(out[k]))
+                out[k] = put_one(out[k])
         return out
 
     buf: collections.deque = collections.deque()

@@ -75,12 +75,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, batch-sharded."""
+    """Place a host batch pytree onto the mesh, batch-sharded.
+
+    Multi-host: ``batch`` must be this process's contiguous slice of the
+    global batch (``global_bs / process_count`` rows, the rows its
+    addressable devices own under the 'data' sharding); the global array is
+    assembled from every host's shards without cross-host copies."""
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, x), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def local_batch_slice(batch):
+    """This process's contiguous rows of a host batch that is identical on
+    every host (e.g. a seed-deterministic val batch) — the slice
+    ``shard_batch`` expects on a multi-host mesh.  No-op single-host."""
+    pc, pi = jax.process_count(), jax.process_index()
+    if pc == 1:
+        return batch
+
+    def f(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        n = x.shape[0]
+        assert n % pc == 0, f"batch dim {n} must divide over {pc} hosts"
+        k = n // pc
+        return x[pi * k:(pi + 1) * k]
+
+    return jax.tree.map(f, batch)
+
+
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params, opt state) across the mesh."""
+    """Replicate a pytree (params, opt state) across the mesh.
+
+    Multi-host: every process must hold the SAME host values (seeded init
+    or a checkpoint restore gives this); each host then feeds its
+    addressable replicas without cross-host traffic."""
     r = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(r, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
