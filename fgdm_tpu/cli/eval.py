@@ -82,11 +82,11 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_dir_images(d: str, size: Optional[int] = None,
+def _load_dir_images(d: str, size=None,
                      nearest: bool = False) -> "np.ndarray":
     """PNG/JPG directory → [N,H,W,3] float in [0,1] (sorted order).
-    ``nearest=True`` for label-colorized maps (bicubic would blend palette
-    colors into off-palette pixels)."""
+    ``size``: int or (h, w) target; ``nearest=True`` for label-colorized
+    maps (bicubic would blend palette colors into off-palette pixels)."""
     import numpy as np
     from PIL import Image
 
@@ -95,11 +95,13 @@ def _load_dir_images(d: str, size: Optional[int] = None,
         if f.lower().endswith((".png", ".jpg", ".jpeg")))
     if not files:
         raise SystemExit(f"[eval] no images under {d}")
+    if size is not None and not isinstance(size, (tuple, list)):
+        size = (size, size)
     ims = []
     for f in files:
         im = Image.open(f).convert("RGB")
         if size is not None:
-            im = im.resize((size, size),
+            im = im.resize((size[1], size[0]),  # PIL takes (W, H)
                            Image.NEAREST if nearest else Image.BICUBIC)
         ims.append(np.asarray(im, np.float32) / 255.0)
     if size is None:
@@ -219,7 +221,8 @@ def _miou(opt, imgs, segmenter_factory) -> Tuple[float, int]:
                                             miou_from_confusion)
 
     labels_fn, num_classes, cmap = segmenter_factory(opt)
-    conds = _load_dir_images(opt.cond_dir, size=imgs.shape[1], nearest=True)
+    conds = _load_dir_images(opt.cond_dir, size=imgs.shape[1:3],
+                             nearest=True)
     if len(conds) != len(imgs):
         raise SystemExit(
             f"[eval] {len(imgs)} images vs {len(conds)} condition maps — "
