@@ -273,6 +273,18 @@ def main(argv=None):
     state_ref = {"state": state, "step": start_step}
 
     def melk(*args):
+        # Multi-host: an orbax save is a collective (all processes must
+        # call it). A SIGNAL delivered to ONE host would deadlock the pod
+        # on the save barrier — only proceed when the launcher guarantees
+        # every host got the signal (FGDM_MELK_MULTIHOST=1, e.g. SLURM
+        # signals the whole job). Direct melk() calls (end of fit,
+        # exception path) run on every process and stay collective-safe.
+        if args and jax.process_count() > 1 and \
+                os.environ.get("FGDM_MELK_MULTIHOST") != "1":
+            print("[train] melk skipped: multi-host save needs the signal "
+                  "on every host (set FGDM_MELK_MULTIHOST=1 when the "
+                  "launcher broadcasts it); interval checkpoints continue")
+            return
         print("[train] melk: saving checkpoint")
         mgr.save(state_ref["step"], state_to_pytree(state_ref["state"]),
                  force=True)
