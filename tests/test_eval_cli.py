@@ -257,3 +257,62 @@ def test_eval_depth_requires_midas_ckpt(tmp_path):
     _write_depth_maps(dep, np.random.default_rng(0).random((2, 16, 16)))
     with pytest.raises(SystemExit, match="midas_ckpt"):
         eval_cli.main(["--images_dir", gen, "--depth_dir", dep])
+
+
+def test_miou_matches_reference_mmseg():
+    """Oracle: confusion-matrix mIoU == the reference's vendored mmseg
+    evaluator (`/root/reference/controlnet/annotator/uniformer/mmseg/core/
+    evaluation/metrics.py:intersect_and_union`) on random label maps with
+    ignore pixels."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch  # noqa: F401  (reference code needs it)
+
+    ref = ("/root/reference/controlnet/annotator/uniformer/mmseg/core/"
+           "evaluation/metrics.py")
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not mounted")
+    # the module imports the vendored mmcv only for its file-reading branch;
+    # stub the package chain — but NEVER touch modules other oracle tests
+    # may have imported for real (same pytest process)
+    added = []
+    chain = ""
+    for part in ["controlnet", "annotator", "uniformer", "mmcv"]:
+        parent = chain
+        chain = f"{chain}.{part}" if chain else part
+        if chain not in sys.modules:
+            mod = types.ModuleType(chain)
+            mod.__path__ = []
+            sys.modules[chain] = mod
+            added.append(chain)
+            if parent:
+                setattr(sys.modules[parent], part, mod)
+    spec = importlib.util.spec_from_file_location("ref_metrics", ref)
+    rm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rm)
+
+    from fgdm_tpu.utils.seg_metrics import (confusion_matrix,
+                                            miou_from_confusion)
+
+    rng = np.random.default_rng(11)
+    C, IGN = 7, 255
+    preds = [rng.integers(0, C, (17, 13)) for _ in range(3)]
+    gts = [rng.integers(0, C, (17, 13)) for _ in range(3)]
+    for g in gts:
+        g[rng.random(g.shape) < 0.1] = IGN  # ignore pixels
+
+    ti, tu, _, _ = rm.total_intersect_and_union(
+        preds, gts, C, IGN, label_map=None)
+    iou = (ti / tu).numpy()
+    want = float(np.nanmean(iou))
+
+    cm = np.zeros((C, C), np.int64)
+    for p, g in zip(preds, gts):
+        cm += confusion_matrix(p, g, C, ignore_label=IGN)
+    got, n = miou_from_confusion(cm)
+    assert n == int(np.isfinite(iou).sum())
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    for name in added:  # leave sys.modules clean for the real oracles
+        sys.modules.pop(name, None)
