@@ -209,3 +209,22 @@ class PiDiNet(nn.Module):
             out = (out > 0.5).astype(jnp.float32)
         out = out * 2.0 - 1.0
         return jnp.repeat(out, 3, axis=-1)
+
+
+def load_pidinet(ckpt_path: str, dtype=jnp.float32) -> "PiDiNet":
+    """Strict loader: table5_pidinet torch checkpoint → (model, params).
+    Raises on any missing/unexpected key."""
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_pidinet
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    model = PiDiNet(dtype=dtype)
+    expect = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    params, missing, unexpected = ingest_pidinet(
+        load_torch_state_dict(ckpt_path), expect=expect)
+    if missing or unexpected:
+        raise ValueError(
+            f"PiDiNet ingest from {ckpt_path}: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:3]})")
+    return model, jax.tree.map(jnp.asarray, params)

@@ -67,7 +67,18 @@ def get_parser() -> argparse.ArgumentParser:
                         "with the images) — enables scale-shift-invariant "
                         "depth adherence via MiDaS re-annotation")
     p.add_argument("--midas_ckpt", type=str, default=None,
-                   help="MiDaS dpt_hybrid checkpoint for --depth_dir")
+                   help="MiDaS dpt_hybrid checkpoint for "
+                        "--depth_dir/--normal_dir")
+    p.add_argument("--normal_dir", type=str, default=None,
+                   help="requested normal maps (RGB-encoded [-1,1], sorted "
+                        "to pair with the images) — enables angular-error "
+                        "adherence via MiDaS depth→normal re-annotation")
+    p.add_argument("--sketch_dir", type=str, default=None,
+                   help="requested sketch/edge maps (grayscale, sorted to "
+                        "pair with the images) — enables edge-F1 adherence "
+                        "via PiDiNet re-annotation")
+    p.add_argument("--pidinet_ckpt", type=str, default=None,
+                   help="PiDiNet table5 checkpoint for --sketch_dir")
     # metric backends
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP checkpoint (vision+text towers) for the "
@@ -235,59 +246,124 @@ def _miou(opt, imgs, segmenter_factory) -> Tuple[float, int]:
     return miou_from_confusion(cm)
 
 
+_MIDAS_MEMO: dict = {}
+
+
+def _load_midas_det(opt, flag: str):
+    if not (opt.midas_ckpt and os.path.exists(opt.midas_ckpt)):
+        raise SystemExit(
+            f"[eval] {flag} needs --midas_ckpt (MiDaS dpt_hybrid weights) "
+            "to re-annotate generated images")
+    if opt.midas_ckpt not in _MIDAS_MEMO:
+        from fgdm_tpu.annotators.midas import load_midas
+
+        try:
+            _MIDAS_MEMO[opt.midas_ckpt] = load_midas(opt.midas_ckpt)
+        except ValueError as e:
+            raise SystemExit(f"[eval] {e}")
+    return _MIDAS_MEMO[opt.midas_ckpt]
+
+
+def _midas_input(img01):
+    import jax
+    import jax.numpy as jnp
+
+    b = img01.shape[0]
+    return jax.image.resize(
+        jnp.asarray(img01, jnp.float32) * 2.0 - 1.0,
+        (b, 384, 384, 3), "bilinear")
+
+
 def default_depth_factory(opt):
     """--midas_ckpt → depth_fn: [B,H,W,3] float [0,1] → [B,H,W] relative
     inverse depth in [0,1] (MiDaS convention, run at 384²)."""
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    if not (opt.midas_ckpt and os.path.exists(opt.midas_ckpt)):
-        raise SystemExit(
-            "[eval] --depth_dir needs --midas_ckpt (MiDaS dpt_hybrid "
-            "weights) to re-estimate depth from generated images")
-    from fgdm_tpu.annotators.midas import load_midas
-
-    try:
-        det = load_midas(opt.midas_ckpt)
-    except ValueError as e:
-        raise SystemExit(f"[eval] {e}")
+    det = _load_midas_det(opt, "--depth_dir")
 
     def depth_fn(img01: np.ndarray) -> np.ndarray:
-        b = img01.shape[0]
-        x = jax.image.resize(
-            jnp.asarray(img01, jnp.float32) * 2.0 - 1.0,
-            (b, 384, 384, 3), "bilinear")
-        depth01, _ = det(x)
+        depth01, _ = det(_midas_input(img01))
         return np.asarray(depth01)
 
     return depth_fn
 
 
-def _depth(opt, imgs, depth_factory) -> dict:
-    """Re-estimate depth from ``imgs`` and score vs ``--depth_dir`` maps."""
+def default_normal_factory(opt):
+    """--midas_ckpt → normal_fn: [B,H,W,3] float [0,1] → [B,H,W,3] normal
+    vectors (MiDaS depth→normal, the condition-synthesis convention)."""
     import numpy as np
 
-    from fgdm_tpu.utils.depth_metrics import depth_adherence
+    det = _load_midas_det(opt, "--normal_dir")
 
-    depth_fn = depth_factory(opt)
-    conds = _load_dir_images(opt.depth_dir)
+    def normal_fn(img01: np.ndarray) -> np.ndarray:
+        _, normal = det(_midas_input(img01))
+        return np.asarray(normal)
+
+    return normal_fn
+
+
+def default_sketch_factory(opt):
+    """--pidinet_ckpt → edge_fn: [B,H,W,3] float [0,1] → [B,H,W] edge
+    probabilities in [0,1]."""
+    import jax
+    import numpy as np
+
+    if not (opt.pidinet_ckpt and os.path.exists(opt.pidinet_ckpt)):
+        raise SystemExit(
+            "[eval] --sketch_dir needs --pidinet_ckpt (PiDiNet weights) "
+            "to re-detect edges on generated images")
+    from fgdm_tpu.annotators.pidinet import load_pidinet
+
+    try:
+        model, params = load_pidinet(opt.pidinet_ckpt)
+    except ValueError as e:
+        raise SystemExit(f"[eval] {e}")
+    apply = jax.jit(model.apply)
+
+    def edge_fn(img01: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        x = jnp.asarray(img01, jnp.float32) * 2.0 - 1.0
+        # PiDiNet emits [-1,1] (the condition-image convention) → [0,1]
+        return (np.asarray(apply(params, x))[..., 0] + 1.0) / 2.0
+
+    return edge_fn
+
+
+def _reannotate(opt, imgs, factory, cond_dir: str, what: str):
+    """Shared re-annotation driver: run ``factory(opt)`` over ``imgs`` in
+    batches and load+resize the requested maps to the prediction grid.
+    Returns (pred, gt01) with matching shapes."""
+    import numpy as np
+
+    fn = factory(opt)
+    conds = _load_dir_images(cond_dir)
     if len(conds) != len(imgs):
         raise SystemExit(
-            f"[eval] {len(imgs)} images vs {len(conds)} depth maps — "
+            f"[eval] {len(imgs)} images vs {len(conds)} {what} maps — "
             "adherence pairs them in sorted order")
-    gt = conds.mean(-1)  # grayscale depth renders → [N,H,W]
     preds = []
     for i in range(0, len(imgs), 8):
-        preds.append(depth_fn(imgs[i:i + 8]))
+        preds.append(np.asarray(fn(imgs[i:i + 8])))
     pred = np.concatenate(preds)
-    if pred.shape[1:] != gt.shape[1:]:
+    if pred.shape[1:3] != conds.shape[1:3]:
         import jax
         import jax.numpy as jnp
 
-        gt = np.asarray(jax.image.resize(
-            jnp.asarray(gt), (gt.shape[0],) + pred.shape[1:], "bilinear"))
-    return depth_adherence(pred, gt)
+        conds = np.asarray(jax.image.resize(
+            jnp.asarray(conds),
+            (conds.shape[0],) + pred.shape[1:3] + (conds.shape[-1],),
+            "bilinear"))
+    return pred, conds
+
+
+def _depth(opt, imgs, depth_factory) -> dict:
+    """Re-estimate depth from ``imgs`` and score vs ``--depth_dir`` maps."""
+    from fgdm_tpu.utils.depth_metrics import depth_adherence
+
+    pred, conds = _reannotate(opt, imgs, depth_factory, opt.depth_dir,
+                              "depth")
+    return depth_adherence(pred, conds.mean(-1))
 
 
 def _generate(opt, tok) -> Tuple["np.ndarray", List[str]]:
@@ -360,7 +436,9 @@ def main(argv: Optional[Sequence[str]] = None,
          scorer_factory=default_scorer_factory,
          fid_backend_factory=default_fid_backend,
          segmenter_factory=default_segmenter_factory,
-         depth_factory=default_depth_factory) -> dict:
+         depth_factory=default_depth_factory,
+         normal_factory=default_normal_factory,
+         sketch_factory=default_sketch_factory) -> dict:
     opt = get_parser().parse_args(argv)
 
     import jax.numpy as jnp
@@ -391,11 +469,13 @@ def main(argv: Optional[Sequence[str]] = None,
     else:
         imgs, prompts = _generate(opt, clip_backend()[1])
 
-    if not (prompts or opt.ref_dir or opt.cond_dir or opt.depth_dir):
+    if not (prompts or opt.ref_dir or opt.cond_dir or opt.depth_dir
+            or opt.normal_dir or opt.sketch_dir):
         raise SystemExit(
             "[eval] nothing to score: give prompts (--prompt/--from-file) "
-            "for CLIP score, --ref_dir for FID, --cond_dir for mIoU, or "
-            "--depth_dir for depth adherence")
+            "for CLIP score, --ref_dir for FID, or a condition dir "
+            "(--cond_dir/--depth_dir/--normal_dir/--sketch_dir) for "
+            "adherence metrics")
 
     metrics: dict = {"n_images": int(imgs.shape[0])}
     if prompts:
@@ -429,6 +509,20 @@ def main(argv: Optional[Sequence[str]] = None,
 
     if opt.depth_dir:
         metrics.update(_depth(opt, imgs, depth_factory))
+
+    if opt.normal_dir:
+        from fgdm_tpu.utils.depth_metrics import normal_angular_error
+
+        pred, conds = _reannotate(opt, imgs, normal_factory,
+                                  opt.normal_dir, "normal")
+        metrics.update(normal_angular_error(pred, conds * 2.0 - 1.0))
+
+    if opt.sketch_dir:
+        from fgdm_tpu.utils.edge_metrics import edge_f1
+
+        pred, conds = _reannotate(opt, imgs, sketch_factory,
+                                  opt.sketch_dir, "sketch")
+        metrics.update(edge_f1(pred, conds.mean(-1)))
 
     line = json.dumps(metrics)
     print(line)

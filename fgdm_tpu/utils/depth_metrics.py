@@ -63,3 +63,23 @@ def depth_adherence(pred: np.ndarray, gt: np.ndarray,
         "depth_rmse_ssi": float(np.sqrt(np.mean(err ** 2))),
         "depth_mae_ssi": float(np.mean(np.abs(err))),
     }
+
+
+def normal_angular_error(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+    """Mean/median angular error (degrees) between normal maps
+    ([B,H,W,3], any consistent scale — vectors are re-normalized)."""
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if pred.shape != gt.shape:
+        raise ValueError(f"pred {pred.shape} vs gt {gt.shape}")
+
+    def unit(v):
+        return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True),
+                              1e-12)
+
+    cos = np.clip((unit(pred) * unit(gt)).sum(-1), -1.0, 1.0)
+    ang = np.degrees(np.arccos(cos))
+    return {
+        "normal_mean_angle_deg": float(ang.mean()),
+        "normal_median_angle_deg": float(np.median(ang)),
+    }

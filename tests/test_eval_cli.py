@@ -316,3 +316,88 @@ def test_miou_matches_reference_mmseg():
     np.testing.assert_allclose(got, want, rtol=1e-12)
     for name in added:  # leave sys.modules clean for the real oracles
         sys.modules.pop(name, None)
+
+
+# ------------------------------------------------------ normal / sketch ----
+
+def test_normal_angular_error_math():
+    from fgdm_tpu.utils.depth_metrics import normal_angular_error
+
+    gt = np.zeros((1, 2, 2, 3))
+    gt[..., 2] = 1.0  # all +z
+    m = normal_angular_error(gt * 5.0, gt)  # scale-invariant
+    assert m["normal_mean_angle_deg"] == pytest.approx(0.0, abs=1e-9)
+    rot = np.zeros_like(gt)
+    rot[..., 0] = 1.0  # all +x → 90°
+    m2 = normal_angular_error(rot, gt)
+    assert m2["normal_mean_angle_deg"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_edge_f1_math():
+    from fgdm_tpu.utils.edge_metrics import edge_f1
+
+    gt = np.array([[[1.0, 1.0, 0.0, 0.0]]])
+    pred = np.array([[[1.0, 0.0, 1.0, 0.0]]])
+    m = edge_f1(pred, gt)
+    assert m["sketch_precision"] == pytest.approx(0.5)
+    assert m["sketch_recall"] == pytest.approx(0.5)
+    assert m["sketch_f1"] == pytest.approx(0.5)
+    perfect = edge_f1(gt, gt)
+    assert perfect["sketch_f1"] == pytest.approx(1.0)
+    # empty prediction+gt → zero counts, no NaN
+    z = edge_f1(np.zeros((1, 2, 2)), np.zeros((1, 2, 2)))
+    assert z["sketch_f1"] == 0.0
+
+
+def test_eval_normal_sketch_cli(tmp_path):
+    rng = np.random.default_rng(5)
+    gen = str(tmp_path / "gen")
+    os.makedirs(gen, exist_ok=True)
+    # "generated images" are arbitrary; toy annotators derive maps from them
+    imgs = rng.random((2, 24, 24, 3)).astype(np.float32)
+    for i, a in enumerate(imgs):
+        Image.fromarray((a * 255).astype(np.uint8)).save(
+            os.path.join(gen, f"{i:03}.png"))
+    imgs_png = np.stack([
+        np.asarray(Image.open(os.path.join(gen, f"{i:03}.png")),
+                   np.float32) / 255.0 for i in range(2)])
+
+    # toy normal annotator: unit vectors from the image channels
+    def toy_normal_factory(opt):
+        def fn(img01):
+            v = img01 * 2.0 - 1.0
+            return v / np.maximum(
+                np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        return fn
+
+    ndir = str(tmp_path / "normals")
+    os.makedirs(ndir, exist_ok=True)
+    for i in range(2):  # requested normals = the annotator's own output
+        n = toy_normal_factory(None)(imgs_png[i:i + 1])[0]
+        Image.fromarray(
+            np.clip((n + 1) / 2 * 255, 0, 255).astype(np.uint8)).save(
+            os.path.join(ndir, f"{i:03}.png"))
+    m = eval_cli.main(["--images_dir", gen, "--normal_dir", ndir],
+                      normal_factory=toy_normal_factory)
+    # uint8 quantization keeps it a few degrees off exact zero
+    assert m["normal_mean_angle_deg"] < 2.0
+
+    # toy sketch annotator: mean-channel threshold map
+    def toy_sketch_factory(opt):
+        return lambda img01: (img01.mean(-1) > 0.5).astype(np.float64)
+
+    sdir = str(tmp_path / "sketch")
+    os.makedirs(sdir, exist_ok=True)
+    for i in range(2):
+        e = toy_sketch_factory(None)(imgs_png[i:i + 1])[0]
+        Image.fromarray((e * 255).astype(np.uint8)).save(
+            os.path.join(sdir, f"{i:03}.png"))
+    m2 = eval_cli.main(["--images_dir", gen, "--sketch_dir", sdir],
+                       sketch_factory=toy_sketch_factory)
+    assert m2["sketch_f1"] == pytest.approx(1.0)
+
+    # missing weights fail loud on the real factories
+    with pytest.raises(SystemExit, match="midas_ckpt"):
+        eval_cli.main(["--images_dir", gen, "--normal_dir", ndir])
+    with pytest.raises(SystemExit, match="pidinet_ckpt"):
+        eval_cli.main(["--images_dir", gen, "--sketch_dir", sdir])
