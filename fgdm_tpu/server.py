@@ -4,12 +4,21 @@ POST /generate  {"prompts": ["..."], "seed": 0}
   → {"images": [...b64 PNG...], "conditions": [...b64 PNG...],
      "latency_s": float}
 GET /healthz
-  → {"status": "ok", "max_batch": N, "compile_seconds": float}
+  → {"status": "ok", "max_batch": N, "compile_seconds": float,
+     "batch_window_ms": W}
 
-One engine instance per process; requests are served sequentially (the
-compiled program is the unit of concurrency — batch slots are the way to
-scale a single chip, more processes/chips behind a balancer the way to
-scale out).
+One engine instance per process; the compiled program is the unit of
+concurrency — batch slots are the way to scale a single chip, more
+processes/chips behind a balancer the way to scale out.
+
+``batch_window_ms > 0`` turns on request coalescing (continuous
+micro-batching): concurrent /generate requests with the SAME seed are
+merged FIFO into one compiled-batch call until the batch is full or the
+window elapses after the first arrival.  Chip utilization rises toward
+max_batch under concurrent load; each slot's noise stays deterministic
+given (seed, slot index), but a coalesced request may land on different
+slots than it would solo — keep the default window 0 when bit-exact
+solo reproducibility matters more than throughput.
 """
 
 from __future__ import annotations
@@ -17,8 +26,10 @@ from __future__ import annotations
 import base64
 import io
 import json
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 from typing import Optional
 
 import numpy as np
@@ -30,6 +41,97 @@ def _png_b64(arr: np.ndarray) -> str:
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class _Pending:
+    __slots__ = ("prompts", "seed", "event", "result", "error")
+
+    def __init__(self, prompts, seed):
+        self.prompts = list(prompts)
+        self.seed = seed
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class RequestBatcher:
+    """Coalesces concurrent generate() calls into full compiled batches.
+
+    A dispatcher thread takes the oldest pending request, then keeps
+    absorbing same-seed requests (FIFO, skipping ones that don't fit) until
+    the batch is full or ``window_ms`` has elapsed since dispatch started;
+    the group runs as ONE ``engine.generate`` call and each caller gets its
+    slice.  ``window_ms=0`` degenerates to a serializing passthrough."""
+
+    def __init__(self, engine, window_ms: float = 0.0):
+        self.engine = engine
+        self.window_ms = window_ms
+        self._window = max(window_ms, 0.0) / 1000.0
+        self._cv = threading.Condition()
+        self._q: list = []
+        self.batches_run = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # the handler-facing surface mirrors ChainEngine
+    @property
+    def max_batch(self):
+        return self.engine.max_batch
+
+    @property
+    def compile_seconds(self):
+        return self.engine.compile_seconds
+
+    def generate(self, prompts, seed: int = 0):
+        req = _Pending(prompts, seed)
+        with self._cv:
+            self._q.append(req)
+            self._cv.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _take_group(self):
+        group = [self._q.pop(0)]
+        slots = len(group[0].prompts)
+        deadline = time.monotonic() + self._window
+        while slots < self.engine.max_batch:
+            for i, r in enumerate(self._q):
+                if r.seed == group[0].seed and \
+                        slots + len(r.prompts) <= self.engine.max_batch:
+                    group.append(self._q.pop(i))
+                    slots += len(group[-1].prompts)
+                    break
+            else:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(remaining)
+                continue
+        return group
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q:
+                    self._cv.wait()
+                group = self._take_group()
+            prompts = [p for r in group for p in r.prompts]
+            try:
+                out = self.engine.generate(prompts, seed=group[0].seed)
+            except Exception as e:  # deliver the failure to every caller
+                for r in group:
+                    r.error = e
+                    r.event.set()
+                continue
+            self.batches_run += 1
+            ofs = 0
+            for r in group:
+                n = len(r.prompts)
+                r.result = {k: v[ofs:ofs + n] for k, v in out.items()}
+                ofs += n
+                r.event.set()
 
 
 def make_handler(engine):
@@ -48,6 +150,7 @@ def make_handler(engine):
                     "status": "ok",
                     "max_batch": engine.max_batch,
                     "compile_seconds": engine.compile_seconds,
+                    "batch_window_ms": getattr(engine, "window_ms", 0),
                 })
             else:
                 self._send(404, {"error": "not found"})
@@ -93,9 +196,20 @@ def make_handler(engine):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8500,
-          max_requests: Optional[int] = None) -> HTTPServer:
-    """Blocking serve loop (max_requests for tests)."""
-    httpd = HTTPServer((host, port), make_handler(engine))
+          max_requests: Optional[int] = None,
+          batch_window_ms: float = 0.0) -> HTTPServer:
+    """Blocking serve loop (max_requests for tests).
+
+    ``batch_window_ms > 0``: requests are handled concurrently
+    (ThreadingHTTPServer) and coalesced into full compiled batches by a
+    :class:`RequestBatcher`."""
+    if batch_window_ms > 0:
+        httpd = ThreadingHTTPServer(
+            (host, port),
+            make_handler(RequestBatcher(engine, batch_window_ms)))
+        httpd.daemon_threads = True
+    else:
+        httpd = HTTPServer((host, port), make_handler(engine))
     if max_requests is None:
         httpd.serve_forever()
     else:
@@ -118,6 +232,10 @@ def main(argv=None):
                    help="compile the chain as four stage programs — "
                    "~2.3x faster cold start, bit-identical output "
                    "(--no-staged for the single fused program)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent same-seed requests into full "
+                        "compiled batches, waiting up to this long after "
+                        "the first arrival (0 = off)")
     opt = p.parse_args(argv)
 
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
@@ -129,7 +247,8 @@ def main(argv=None):
                          staged=opt.staged)
     print(f"[server] ready on {opt.host}:{opt.port} "
           f"(compile {engine.compile_seconds:.1f}s)")
-    serve(engine, opt.host, opt.port)
+    serve(engine, opt.host, opt.port,
+          batch_window_ms=opt.batch_window_ms)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ KW = dict(model_channels=32, num_heads=4, context_dim=64,
 
 
 @pytest.fixture(scope="module")
-def server_port():
+def engine():
     vae = AutoencoderKL(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
                         resolution=64, dtype=jnp.float32)
     clip = CLIPTextEncoder(vocab_size=49408, embed_dim=64, num_layers=1,
@@ -35,8 +35,12 @@ def server_port():
     cldm = ControlLDM.create_control(
         UNetModel(**KW, use_adapter=False), vae, clip, ControlNet(**KW),
         jax.random.PRNGKey(1), latent_size=8, control_scales=(1.0,) * 5)
-    engine = ChainEngine(ld, cldm, max_batch=2, cond_hw=(64, 64),
-                         image_hw=(64, 64), f1_steps=2, f2_steps=2)
+    return ChainEngine(ld, cldm, max_batch=2, cond_hw=(64, 64),
+                       image_hw=(64, 64), f1_steps=2, f2_steps=2)
+
+
+@pytest.fixture(scope="module")
+def server_port(engine):
     port = 8517
     t = threading.Thread(target=serve,
                          args=(engine, "127.0.0.1", port),
@@ -78,3 +82,81 @@ def test_generate_rejects_bad_requests(server_port):
     assert status == 400 and "prompts" in body["error"]
     status, body = _post(server_port, {"prompts": ["a", "b", "c"]})
     assert status == 400 and "at most 2" in body["error"]
+
+
+def test_batching_coalesces_concurrent_requests(engine):
+    """Two concurrent same-seed requests merge into ONE compiled-batch
+    call; different seeds stay separate batches."""
+    from fgdm_tpu.server import RequestBatcher
+
+    calls = []
+    real_generate = engine.generate
+
+    class Counting:
+        max_batch = engine.max_batch
+        compile_seconds = engine.compile_seconds
+
+        @staticmethod
+        def generate(prompts, seed=0):
+            calls.append((tuple(prompts), seed))
+            return real_generate(prompts, seed=seed)
+
+    batcher = RequestBatcher(Counting, window_ms=2000)
+    results = {}
+
+    def hit(name):
+        results[name] = batcher.generate([name], seed=0)
+
+    threads = [threading.Thread(target=hit, args=(n,))
+               for n in ("a cat", "a dog")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {"a cat", "a dog"}
+    for r in results.values():
+        assert r["images"].shape[0] == 1
+    same_seed_calls = [c for c in calls if c[1] == 0]
+    assert len(same_seed_calls) == 1  # coalesced
+    assert len(same_seed_calls[0][0]) == 2
+    # a different seed cannot share the batch
+    out = batcher.generate(["a bird"], seed=7)
+    assert out["images"].shape[0] == 1
+    assert calls[-1][1] == 7 and len(calls) == 2
+    assert batcher.batches_run == 2
+
+
+def test_batching_server_roundtrip(engine):
+    """End-to-end over HTTP: threaded server with a batch window serves
+    concurrent requests correctly."""
+    port = 8518
+    t = threading.Thread(
+        target=serve, args=(engine, "127.0.0.1", port),
+        kwargs={"max_requests": 3, "batch_window_ms": 1500}, daemon=True)
+    t.start()
+    import time
+    for _ in range(50):  # wait for the socket
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                body = json.loads(r.read())
+            break
+        except OSError:
+            time.sleep(0.1)
+    assert body["batch_window_ms"] == 1500
+
+    outs = {}
+
+    def hit(name):
+        outs[name] = _post(port, {"prompts": [name], "seed": 0})
+
+    ts = [threading.Thread(target=hit, args=(n,)) for n in ("x", "y")]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=300)
+    for status, body in outs.values():
+        assert status == 200
+        assert len(body["images"]) == 1
+        png = base64.b64decode(body["images"][0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
