@@ -6,6 +6,9 @@ POST /generate  {"prompts": ["..."], "seed": 0}
 GET /healthz
   → {"status": "ok", "max_batch": N, "compile_seconds": float,
      "batch_window_ms": W}
+GET /metrics
+  → Prometheus text format: requests/errors/images totals, latency sum,
+    engine batches run (batch occupancy = images_total / batches_total)
 
 One engine instance per process; the compiled program is the unit of
 concurrency — batch slots are the way to scale a single chip, more
@@ -134,7 +137,54 @@ class RequestBatcher:
                 r.event.set()
 
 
-def make_handler(engine):
+class ServerMetrics:
+    """Thread-safe serving counters, exposed in Prometheus text format."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.images_total = 0
+        self.latency_seconds_sum = 0.0
+
+    def observe(self, n_images: int, latency_s: float, error: bool):
+        with self._lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            else:
+                self.images_total += n_images
+                self.latency_seconds_sum += latency_s
+
+    def render(self, engine) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE fgdm_requests_total counter",
+                f"fgdm_requests_total {self.requests_total}",
+                "# TYPE fgdm_errors_total counter",
+                f"fgdm_errors_total {self.errors_total}",
+                "# TYPE fgdm_images_total counter",
+                f"fgdm_images_total {self.images_total}",
+                "# TYPE fgdm_request_latency_seconds_sum counter",
+                f"fgdm_request_latency_seconds_sum "
+                f"{self.latency_seconds_sum:.6f}",
+                "# TYPE fgdm_max_batch gauge",
+                f"fgdm_max_batch {engine.max_batch}",
+            ]
+            batches = getattr(engine, "batches_run", None)
+            if batches is not None:
+                lines += ["# TYPE fgdm_engine_batches_total counter",
+                          f"fgdm_engine_batches_total {batches}"]
+            if engine.compile_seconds is not None:
+                lines += ["# TYPE fgdm_compile_seconds gauge",
+                          f"fgdm_compile_seconds "
+                          f"{engine.compile_seconds:.3f}"]
+        return "\n".join(lines) + "\n"
+
+
+def make_handler(engine, metrics: Optional[ServerMetrics] = None):
+    metrics = metrics or ServerMetrics()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -152,6 +202,14 @@ def make_handler(engine):
                     "compile_seconds": engine.compile_seconds,
                     "batch_window_ms": getattr(engine, "window_ms", 0),
                 })
+            elif self.path == "/metrics":
+                body = metrics.render(engine).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -181,12 +239,14 @@ def make_handler(engine):
                 t0 = time.perf_counter()
                 out = engine.generate(prompts, seed=seed)
                 latency = time.perf_counter() - t0
+                metrics.observe(len(prompts), latency, error=False)
                 self._send(200, {
                     "images": [_png_b64(a) for a in out["images"]],
                     "conditions": [_png_b64(a) for a in out["conditions"]],
                     "latency_s": round(latency, 3),
                 })
             except Exception as e:  # surface errors as JSON, keep serving
+                metrics.observe(0, 0.0, error=True)
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # quiet default logging

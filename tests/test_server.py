@@ -44,7 +44,7 @@ def server_port(engine):
     port = 8517
     t = threading.Thread(target=serve,
                          args=(engine, "127.0.0.1", port),
-                         kwargs={"max_requests": 4}, daemon=True)
+                         kwargs={"max_requests": 5}, daemon=True)
     t.start()
     yield port
 
@@ -160,3 +160,18 @@ def test_batching_server_roundtrip(engine):
         assert len(body["images"]) == 1
         png = base64.b64decode(body["images"][0])
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_metrics_endpoint(server_port):
+    # note: server_port's server has already handled requests in the tests
+    # above; metrics must reflect a nonzero request count
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server_port}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    vals = {l.split()[0]: float(l.split()[1])
+            for l in text.splitlines() if l and not l.startswith("#")}
+    assert vals["fgdm_requests_total"] >= 1
+    assert vals["fgdm_images_total"] >= 1
+    assert vals["fgdm_max_batch"] == 2
+    assert vals["fgdm_request_latency_seconds_sum"] > 0
