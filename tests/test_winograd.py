@@ -64,3 +64,52 @@ def test_winograd_dispatch_in_conv2d(np_rng, monkeypatch):
     ref = conv.apply(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_winograd_whole_chain_parity(np_rng, monkeypatch):
+    """FGDM_WINOGRAD_CONV flipped on for the FULL tiny seg→image chain:
+    outputs stay close to the direct-conv chain (de-risks enabling the
+    flag on hardware where only throughput, not correctness, is in
+    question)."""
+    import fgdm_tpu.nn.layers as nl
+    from fgdm_tpu.diffusion.control import ControlLDM
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.controlnet import ControlNet
+    from fgdm_tpu.models.unet import UNetModel
+    from fgdm_tpu.sampling.chain import fgdm_chain
+
+    kw = dict(model_channels=64, num_heads=4, context_dim=64,
+              channel_mult=(1, 2), attention_resolutions=(1, 2),
+              num_res_blocks=1, dtype=jnp.float32)
+    vae = AutoencoderKL(ch=64, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                        resolution=64, dtype=jnp.float32)
+    clip = CLIPTextEncoder(vocab_size=49408, embed_dim=64, num_layers=1,
+                           num_heads=4)
+    ld = LatentDiffusion.create(UNetModel(**kw), vae, clip,
+                                jax.random.PRNGKey(0), latent_size=8)
+    cldm = ControlLDM.create_control(
+        UNetModel(**kw, use_adapter=False), vae, clip, ControlNet(**kw),
+        jax.random.PRNGKey(1), latent_size=8, control_scales=(1.0,) * 5)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    args = (ld, cldm, jax.random.PRNGKey(7),
+            ld.get_learned_conditioning(ids),
+            ld.get_learned_conditioning(ids),
+            cldm.get_learned_conditioning(ids),
+            cldm.get_learned_conditioning(ids))
+    kw2 = dict(cond_hw=(64, 64), image_hw=(64, 64), f1_steps=3, f2_steps=2)
+
+    monkeypatch.setattr(nl, "_WINOGRAD_CONV", False)
+    ref = jax.jit(lambda *a: fgdm_chain(*a, **kw2))(*args)
+    monkeypatch.setattr(nl, "_WINOGRAD_CONV", True)
+    got = jax.jit(lambda *a: fgdm_chain(*a, **kw2))(*args)
+    monkeypatch.setattr(nl, "_WINOGRAD_CONV", False)
+
+    # model_channels=64 puts the c>=64 gate on the hot path (ch_mult keeps
+    # every ResBlock conv eligible); f32 transforms keep the drift tiny
+    for k in ("condition", "image"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=5e-3, atol=5e-3)
+    assert float(jnp.std(got["image"])) > 1e-4
