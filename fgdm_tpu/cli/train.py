@@ -129,7 +129,16 @@ def main(argv=None):
         opt.base = base + opt.base
         nowname = os.path.basename(logdir)
     else:
-        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        ts = time.time()
+        if jax.process_count() > 1:
+            # every host must assemble the SAME run dir (the orbax save is
+            # a collective into one directory) — take process 0's clock
+            from jax.experimental import multihost_utils
+
+            ts = float(multihost_utils.broadcast_one_to_all(
+                np.asarray(ts, np.float64)))
+        now = datetime.datetime.fromtimestamp(ts).strftime(
+            "%Y-%m-%dT%H-%M-%S")
         cfg_name = (os.path.splitext(os.path.basename(opt.base[0]))[0]
                     if opt.base else "")
         nowname = now + ("_" + (opt.name or cfg_name) if (opt.name or cfg_name)
@@ -145,8 +154,9 @@ def main(argv=None):
     imgdir = os.path.join(logdir, "images")
     for d in (ckptdir, cfgdir, imgdir):
         os.makedirs(d, exist_ok=True)
-    with open(os.path.join(cfgdir, f"{nowname}-project.yaml"), "w") as f:
-        yaml.safe_dump(config, f)
+    if jax.process_index() == 0:  # one writer on a shared filesystem
+        with open(os.path.join(cfgdir, f"{nowname}-project.yaml"), "w") as f:
+            yaml.safe_dump(config, f)
 
     # -- model -------------------------------------------------------------
     spec = instantiate_from_config(config["model"])

@@ -232,3 +232,80 @@ def test_two_process_train_step(tmp_path):
         got = [r["loss"] for r in sorted(rank_out, key=lambda r: r["step"])]
         np.testing.assert_allclose(got, want, rtol=2e-4)
     assert [r["loss"] for r in outs[0]] == [r["loss"] for r in outs[1]]
+
+
+CLI_WORKER = r"""
+import os, sys
+pid, nproc, port, cfg, logdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4], sys.argv[5])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
+                           process_id=pid)
+sys.path.insert(0, %(repo)r)
+import jax.numpy as jnp
+from fgdm_tpu import builders
+from fgdm_tpu.models.clip import CLIPTextEncoder
+builders.build_clip = lambda dtype=jnp.bfloat16, **p: CLIPTextEncoder(
+    vocab_size=49408, embed_dim=64, num_layers=1, num_heads=4, dtype=dtype)
+from fgdm_tpu.cli import train as train_cli
+train_cli.main(["-b", cfg, "-t", "--max_steps", "2", "-l", logdir,
+                "-n", "mh", "--seed", "7", "--num_workers", "2",
+                "--no-test"])
+print(f"RANK{pid}DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """The real training CLI on a 2-process cluster: coordinated run dir,
+    per-host data slices, collective orbax checkpointing, identical
+    losses on both ranks."""
+    import tests.test_train_cli as tc
+
+    # synthetic COCO tree (same recipe as the single-process CLI test)
+    class _F:
+        def mktemp(self, name):
+            d = tmp_path / name
+            d.mkdir()
+            return d
+
+    root, cfg_path = tc.workspace.__wrapped__(_F())
+    script = tmp_path / "cli_worker.py"
+    script.write_text(CLI_WORKER % {"repo": REPO})
+    logdir = tmp_path / "logs"
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port),
+             str(cfg_path), str(logdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"rank failed:\n{out[-2000:]}\n{err[-3000:]}"
+        outs.append(out)
+    assert "RANK0DONE" in outs[0] and "RANK1DONE" in outs[1]
+
+    # ONE coordinated run dir, with a config snapshot and a checkpoint
+    runs = list(logdir.iterdir())
+    assert len(runs) == 1, [r.name for r in runs]
+    run = runs[0]
+    assert any(p.suffix == ".yaml" for p in (run / "configs").iterdir())
+    assert list((run / "checkpoints").iterdir()), "no checkpoint saved"
+
+    # both ranks computed the same global loss at step 0
+    def loss0(out):
+        for line in out.splitlines():
+            if line.startswith("step 0 loss"):
+                return line.split()[3]
+        raise AssertionError(f"no step-0 line:\n{out[-1500:]}")
+
+    assert loss0(outs[0]) == loss0(outs[1])
