@@ -114,6 +114,12 @@ class ChainEngine:
             from fgdm_tpu.parallel.mesh import (
                 data_sharding, replicate, replicated)
 
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "multi-host serving is deliberately unsupported: run "
+                    "one engine per host behind a balancer (serving is "
+                    "embarrassingly parallel; a cross-host mesh would add "
+                    "DCN hops to every request for nothing)")
             n_data = mesh.shape["data"]
             if max_batch % n_data:
                 raise ValueError(
