@@ -63,7 +63,11 @@ def match_state_dict(
         leaf_name = tkey.rsplit(".", 1)[-1]
         candidates: List[Tuple[str, np.ndarray]] = []
         if leaf_name == "weight":
-            for leaf in ("kernel", "scale", "embedding", "mean", "var"):
+            # embedding tables keep torch orientation under whatever leaf
+            # the flax module gave them (token_/position_/class_embedding…)
+            emb_leaves = {k[0] for k in free
+                          if k[0].endswith("embedding") and free[k]}
+            for leaf in ("kernel", "scale", "mean", "var", *emb_leaves):
                 cv = _convert(v, "kernel") if leaf == "kernel" else v
                 if cv is not None:
                     for p in free.get((leaf, tuple(cv.shape)), []):
@@ -78,6 +82,13 @@ def match_state_dict(
         else:
             for p in free.get((leaf_name, tuple(v.shape)), []):
                 candidates.append((p, v))
+            if not candidates and "embedding" in leaf_name:
+                # naming drift across CLIP schemas: OpenAI's bare
+                # `positional_embedding` ↔ flax `position_embedding` etc.
+                for (leaf, shape), slots in free.items():
+                    if leaf.endswith("embedding") and shape == v.shape \
+                            and slots:
+                        candidates.extend((p, v) for p in slots)
         if not candidates:
             unmatched_torch.append(tkey)
             continue
@@ -89,7 +100,9 @@ def match_state_dict(
         path = best[0]
         mapping[tkey] = path
         leaf = path.rsplit("/", 1)[-1]
-        free[(leaf, tuple(np.asarray(exp_flat[path]).shape))].remove(path)
+        # .shape works for arrays AND eval_shape's ShapeDtypeStruct leaves
+        # (np.asarray on the latter collapses to a 0-d object scalar)
+        free[(leaf, tuple(exp_flat[path].shape))].remove(path)
 
     unmatched_flax = [p for slots in free.values() for p in slots]
     return mapping, unmatched_torch, unmatched_flax
@@ -100,7 +113,11 @@ def apply_mapping(sd: TensorDict, mapping: Dict[str, str], expect: Any
     """Build the flax tree from a (possibly hand-audited) mapping."""
     exp = expect.get("params", expect) if isinstance(expect, dict) else expect
     exp_flat = traverse_util.flatten_dict(exp, sep="/")
-    out = {k: np.asarray(v) for k, v in exp_flat.items()}
+    # eval_shape leaves (ShapeDtypeStruct) materialize as zeros; unmapped
+    # slots otherwise keep the template's values
+    out = {k: (np.zeros(v.shape, v.dtype) if not hasattr(v, "__array__")
+               else np.asarray(v))
+           for k, v in exp_flat.items()}
     for tkey, path in mapping.items():
         leaf = path.rsplit("/", 1)[-1]
         v = np.asarray(sd[tkey])

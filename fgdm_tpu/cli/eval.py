@@ -123,13 +123,82 @@ def _load_dir_images(d: str, size=None,
     return np.stack(ims)
 
 
+def ingest_clip_towers(sd, vision, text):
+    """Strict fuzzy ingest of an OpenAI- or HF-schema CLIP state dict into
+    the given vision/text tower definitions → (vparams, tparams, proj).
+
+    Handles the schema differences up front: OpenAI's fused attn
+    ``in_proj_*`` is split into q/k/v rows, non-parameter buffers
+    (position_ids, logit_scale, attn_mask) are dropped, and the text
+    projection is transposed to [embed, proj] if stored HF-style.  Raises
+    SystemExit when any checkpoint key goes unconsumed OR any tower param
+    would stay at random init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fgdm_tpu.checkpoint.fuzzy_ingest import (apply_mapping,
+                                                  match_state_dict)
+
+    vp = jax.eval_shape(lambda: vision.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, vision.image_size, vision.image_size, 3))))
+    tp = jax.eval_shape(lambda: text.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)))
+
+    def strict_ingest(sub, expect, label):
+        mapping, unmatched_t, unmatched_f = match_state_dict(sub, expect)
+        if unmatched_t:
+            raise SystemExit(
+                f"[eval] CLIP {label} ingest failed: {len(unmatched_t)} "
+                f"unconsumed ckpt params, e.g. {unmatched_t[:4]}")
+        if unmatched_f:
+            raise SystemExit(
+                f"[eval] CLIP {label} ingest failed: {len(unmatched_f)} "
+                f"tower params left at random init, e.g. {unmatched_f[:4]}")
+        return apply_mapping(sub, mapping, expect)
+
+    def split_fused_qkv(d):
+        out = {}
+        for k, v in d.items():
+            if k.endswith(("attn.in_proj_weight", "attn.in_proj_bias")):
+                q, kk, vv = np.split(np.asarray(v), 3, axis=0)
+                stem = k.replace("in_proj_weight", "").replace(
+                    "in_proj_bias", "")
+                leaf = "weight" if k.endswith("weight") else "bias"
+                out[f"{stem}q_proj.{leaf}"] = q
+                out[f"{stem}k_proj.{leaf}"] = kk
+                out[f"{stem}v_proj.{leaf}"] = vv
+            else:
+                out[k] = v
+        return out
+
+    sd = split_fused_qkv(sd)
+    drop = ("position_ids", "logit_scale", "attn_mask",
+            "num_batches_tracked")
+    sd = {k: v for k, v in sd.items() if not k.endswith(drop)}
+    vis_sd = {k: v for k, v in sd.items() if "visual" in k or "vision" in k}
+    txt_sd = {k: v for k, v in sd.items()
+              if not ("visual" in k or "vision" in k
+                      or "text_projection" in k)}
+    vparams = strict_ingest(vis_sd, vp, "vision")
+    tparams = strict_ingest(txt_sd, tp, "text")
+    # explicit membership test: `or` on a numpy array raises on truthiness
+    proj = (sd["text_projection"] if "text_projection" in sd
+            else sd.get("text_projection.weight"))
+    if proj is None:
+        raise SystemExit("[eval] CLIP ckpt lacks text_projection")
+    proj = np.asarray(proj, np.float32)
+    if proj.shape[0] != text.embed_dim:
+        proj = proj.T  # HF stores [proj, embed]
+    return vparams, tparams, proj
+
+
 def default_scorer_factory(opt):
     """Build a production CLIPScorer from ``--clip_ckpt`` via the fuzzy
     torch-state-dict matcher; fails loud on missing weights/vocab."""
     import jax.numpy as jnp
 
-    from fgdm_tpu.checkpoint.fuzzy_ingest import (apply_mapping,
-                                                  match_state_dict)
     from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
     from fgdm_tpu.models.clip import CLIPTextEncoder, CLIPTokenizer
     from fgdm_tpu.utils.clip_score import CLIPScorer, CLIPVisionEncoder
@@ -141,40 +210,10 @@ def default_scorer_factory(opt):
     tok = CLIPTokenizer(vocab_dir=opt.vocab_dir)
     tok.check_production("eval")
 
-    sd = load_torch_state_dict(opt.clip_ckpt)
-    import jax
-
-    import numpy as np
-
     vision = CLIPVisionEncoder()
     text = CLIPTextEncoder()
-    vp = jax.eval_shape(lambda: vision.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
-    tp = jax.eval_shape(lambda: text.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)))
-
-    def strict_ingest(sub, expect, label):
-        mapping, unmatched = match_state_dict(sub, expect)
-        if unmatched:
-            raise SystemExit(
-                f"[eval] CLIP {label} ingest failed: {len(unmatched)} "
-                f"unmatched params, e.g. {unmatched[:4]}")
-        return apply_mapping(sub, mapping, expect)
-
-    vis_sd = {k: v for k, v in sd.items() if "visual" in k or "vision" in k}
-    txt_sd = {k: v for k, v in sd.items()
-              if not ("visual" in k or "vision" in k
-                      or "text_projection" in k or "logit_scale" in k)}
-    vparams = strict_ingest(vis_sd, vp, "vision")
-    tparams = strict_ingest(txt_sd, tp, "text")
-    # explicit membership test: `or` on a numpy array raises on truthiness
-    proj = (sd["text_projection"] if "text_projection" in sd
-            else sd.get("text_projection.weight"))
-    if proj is None:
-        raise SystemExit("[eval] CLIP ckpt lacks text_projection")
-    proj = np.asarray(proj, np.float32)
-    if proj.shape[0] != text.embed_dim:
-        proj = proj.T  # HF stores [proj, embed]
+    vparams, tparams, proj = ingest_clip_towers(
+        load_torch_state_dict(opt.clip_ckpt), vision, text)
     return CLIPScorer(vparams, tparams, jnp.asarray(proj),
                       vision_def=vision, text_def=text), tok
 

@@ -401,3 +401,106 @@ def test_eval_normal_sketch_cli(tmp_path):
         eval_cli.main(["--images_dir", gen, "--normal_dir", ndir])
     with pytest.raises(SystemExit, match="pidinet_ckpt"):
         eval_cli.main(["--images_dir", gen, "--sketch_dir", sdir])
+
+
+# --------------------------------------------------- CLIP schema oracle ----
+
+def _tiny_towers():
+    vision = CLIPVisionEncoder(image_size=32, patch_size=8, hidden=64,
+                               layers=1, heads=4, proj_dim=32)
+    text = CLIPTextEncoder(vocab_size=99, embed_dim=48, num_layers=1,
+                           num_heads=4)
+    return vision, text
+
+
+def test_clip_ingest_matches_hf_schema():
+    """Oracle: the eval scorer's strict ingest consumes the REAL HF
+    transformers CLIPModel key schema with zero unconsumed ckpt keys and
+    zero random-init tower params."""
+    transformers = pytest.importorskip("transformers")
+
+    from fgdm_tpu.cli.eval import ingest_clip_towers
+
+    tcfg = transformers.CLIPTextConfig(
+        vocab_size=99, hidden_size=48, intermediate_size=192,
+        num_hidden_layers=1, num_attention_heads=4,
+        max_position_embeddings=77, projection_dim=32)
+    vcfg = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=1,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        projection_dim=32)
+    m = transformers.CLIPModel(transformers.CLIPConfig(
+        text_config=tcfg.to_dict(), vision_config=vcfg.to_dict(),
+        projection_dim=32))
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+
+    vision, text = _tiny_towers()
+    vparams, tparams, proj = ingest_clip_towers(sd, vision, text)
+    assert proj.shape == (48, 32)  # transposed from HF [proj, embed]
+    # spot-check value placement: HF q_proj weight [out,in] -> kernel.T
+    want = sd["text_model.encoder.layers.0.self_attn.q_proj.weight"].T
+    got = np.asarray(
+        tparams["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    np.testing.assert_array_equal(got, want)
+    got_pe = np.asarray(vparams["params"]["position_embedding"])
+    np.testing.assert_array_equal(
+        got_pe, sd["vision_model.embeddings.position_embedding.weight"])
+
+
+def test_clip_ingest_splits_openai_fused_qkv():
+    """OpenAI-schema checkpoints fuse attn q/k/v as in_proj_*; the ingest
+    splits the rows and places each third."""
+    from fgdm_tpu.cli.eval import ingest_clip_towers
+
+    rng = np.random.default_rng(0)
+    d = 48
+    fused_w = rng.standard_normal((3 * d, d)).astype(np.float32)
+    fused_b = rng.standard_normal((3 * d,)).astype(np.float32)
+    sd = {
+        "transformer.resblocks.0.attn.in_proj_weight": fused_w,
+        "transformer.resblocks.0.attn.in_proj_bias": fused_b,
+        "transformer.resblocks.0.attn.out_proj.weight":
+            rng.standard_normal((d, d)).astype(np.float32),
+        "transformer.resblocks.0.attn.out_proj.bias":
+            np.zeros((d,), np.float32),
+        "transformer.resblocks.0.ln_1.weight": np.ones((d,), np.float32),
+        "transformer.resblocks.0.ln_1.bias": np.zeros((d,), np.float32),
+        "transformer.resblocks.0.ln_2.weight": np.ones((d,), np.float32),
+        "transformer.resblocks.0.ln_2.bias": np.zeros((d,), np.float32),
+        "transformer.resblocks.0.mlp.c_fc.weight":
+            rng.standard_normal((4 * d, d)).astype(np.float32),
+        "transformer.resblocks.0.mlp.c_fc.bias":
+            np.zeros((4 * d,), np.float32),
+        "transformer.resblocks.0.mlp.c_proj.weight":
+            rng.standard_normal((d, 4 * d)).astype(np.float32),
+        "transformer.resblocks.0.mlp.c_proj.bias":
+            np.zeros((d,), np.float32),
+        "ln_final.weight": np.ones((d,), np.float32),
+        "ln_final.bias": np.zeros((d,), np.float32),
+        "token_embedding.weight":
+            rng.standard_normal((99, d)).astype(np.float32),
+        "positional_embedding":
+            rng.standard_normal((77, d)).astype(np.float32),
+        "text_projection":
+            rng.standard_normal((d, 32)).astype(np.float32),
+    }
+    # text-only check: give the vision side an HF vision state dict
+    transformers = pytest.importorskip("transformers")
+    vcfg = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=1,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        projection_dim=32)
+    vm = transformers.CLIPVisionModelWithProjection(vcfg)
+    sd.update({f"vision_model.{k}" if not k.startswith(
+        ("vision_model.", "visual_projection")) else k: v.numpy()
+        for k, v in vm.state_dict().items()})
+
+    vision, text = _tiny_towers()
+    vparams, tparams, proj = ingest_clip_towers(sd, vision, text)
+    got_q = np.asarray(
+        tparams["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    np.testing.assert_array_equal(got_q, fused_w[:d].T)
+    got_v = np.asarray(
+        tparams["params"]["layers_0"]["self_attn"]["v_proj"]["kernel"])
+    np.testing.assert_array_equal(got_v, fused_w[2 * d:].T)
+    assert proj.shape == (48, 32)
