@@ -159,3 +159,19 @@ def test_key_surgery():
     out = ti.apply_key_surgery(sd, ignore_keys=("model_ema.",),
                                replace_keys=(("old_name", "new_name"),))
     assert list(out) == ["model.new_name.weight"]
+
+
+def test_load_torch_state_dict_safetensors(tmp_path):
+    """The .safetensors branch of the universal loader."""
+    safetensors = pytest.importorskip("safetensors.numpy")
+
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    d = {"a.weight": np.ones((2, 3), np.float32),
+         "b.bias": np.zeros((4,), np.float16)}
+    p = str(tmp_path / "x.safetensors")
+    safetensors.save_file(d, p)
+    out = load_torch_state_dict(p)
+    assert set(out) == set(d)
+    np.testing.assert_array_equal(out["a.weight"], d["a.weight"])
+    assert out["b.bias"].dtype == np.float16
