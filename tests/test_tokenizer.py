@@ -100,3 +100,25 @@ def test_check_production_fails_without_vocab(monkeypatch):
         tok.check_production("test")
     monkeypatch.setenv("FGDM_ALLOW_HASH_TOKENIZER", "1")
     tok.check_production("test")  # override allows it
+
+
+def test_bpe_id_parity_with_hf_reference(vocab_dir):
+    """Oracle: our BPE machinery produces the exact ids the HF
+    transformers CLIPTokenizer (the reference implementation the
+    checkpoints were trained with) produces from the same vocab/merges
+    files — case folding, merge order, and multi-piece words included.
+    With the real vocab.json/merges.txt, parity follows from this plus
+    file identity."""
+    transformers = pytest.importorskip("transformers")
+
+    d, _ = vocab_dir
+    hf = transformers.CLIPTokenizer(d + "/vocab.json", d + "/merges.txt")
+    ours = CLIPTokenizer(vocab_dir=d)
+    prompts = ["a cat and a dog", "cat", "catdog ccat", "Dog CAT",
+               "  spaced   out  ", "zzz qqq"]
+    got = np.asarray(ours(prompts))
+    for row, s in zip(got, prompts):
+        want = hf(s, add_special_tokens=False)["input_ids"]
+        assert row[0] == ours.BOT
+        inner = [int(t) for t in row[1:] if t != ours.EOT]
+        assert inner == want, (s, inner, want)
