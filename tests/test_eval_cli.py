@@ -504,3 +504,44 @@ def test_clip_ingest_splits_openai_fused_qkv():
         tparams["params"]["layers_0"]["self_attn"]["v_proj"]["kernel"])
     np.testing.assert_array_equal(got_v, fused_w[2 * d:].T)
     assert proj.shape == (48, 32)
+
+
+def test_clip_vision_forward_matches_hf():
+    """Forward oracle: our vision tower with HF-ingested weights equals
+    transformers CLIPVisionModelWithProjection's image embedding."""
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    from fgdm_tpu.cli.eval import ingest_clip_towers
+
+    vcfg = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        projection_dim=32)
+    vm = transformers.CLIPVisionModelWithProjection(vcfg)
+    vm.eval()
+    sd = {f"vision_model.{k}" if not k.startswith(
+        ("vision_model.", "visual_projection")) else k: v.numpy()
+        for k, v in vm.state_dict().items()}
+    # a text side so the strict ingest has both towers + projection
+    tcfg = transformers.CLIPTextConfig(
+        vocab_size=99, hidden_size=48, intermediate_size=192,
+        num_hidden_layers=1, num_attention_heads=4,
+        max_position_embeddings=77, projection_dim=32)
+    tm = transformers.CLIPTextModelWithProjection(tcfg)
+    sd.update({k: v.numpy() for k, v in tm.state_dict().items()})
+
+    vision = CLIPVisionEncoder(image_size=32, patch_size=8, hidden=64,
+                               layers=2, heads=4, proj_dim=32)
+    text = CLIPTextEncoder(vocab_size=99, embed_dim=48, num_layers=1,
+                           num_heads=4)
+    vparams, _, _ = ingest_clip_towers(sd, vision, text)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = vm(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    got = np.asarray(vision.apply(
+        jax.tree.map(jnp.asarray, vparams), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
