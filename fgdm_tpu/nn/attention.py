@@ -308,3 +308,55 @@ class PixelAttentionBlock(nn.Module):
         a = a.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = Dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(a)
         return (xf + out).reshape(b, hh, ww, c)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling of a spatial feature map to one vector
+    (reference ``AttentionPool2d``,
+    `/root/reference/ldm/modules/diffusionmodules/openaimodel.py:37-64`
+    — defined there for classifier heads but never instantiated by any
+    shipped config; implemented for surface completeness).
+
+    A mean token is prepended to the flattened spatial tokens, a learned
+    positional embedding (torch layout ``[C, N+1]``, kept for state-dict
+    fidelity) is added, and one round of multi-head self-attention in the
+    reference's *new* qkv order (q/k/v outermost, symmetric ``ch**-0.25``
+    scaling) produces the pooled first token through ``c_proj``.
+    """
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads_channels: int
+    output_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hh, ww, c = x.shape
+        assert c == self.embed_dim, (c, self.embed_dim)
+        assert hh * ww == self.spacial_dim ** 2, (hh, ww, self.spacial_dim)
+        assert c % self.num_heads_channels == 0, (c, self.num_heads_channels)
+        ch = self.num_heads_channels
+        nh = c // ch
+        tok = x.reshape(b, hh * ww, c)
+        tok = jnp.concatenate([tok.mean(axis=1, keepdims=True), tok], axis=1)
+        t = tok.shape[1]  # N + 1
+        pos = self.param(
+            "positional_embedding",
+            lambda k: jax.random.normal(k, (c, t), jnp.float32) / c ** 0.5,
+        )
+        tok = tok + jnp.transpose(pos)[None].astype(tok.dtype)
+        qkv = Dense(3 * c, dtype=self.dtype, name="qkv_proj")(tok)  # [B,T,3C]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(u: jnp.ndarray) -> jnp.ndarray:  # [B,T,C] → [B,H,T,ch]
+            return u.reshape(b, t, nh, ch).transpose(0, 2, 1, 3)
+
+        scale = float(ch) ** -0.25
+        w = jnp.einsum("bhtc,bhsc->bhts", heads(q) * scale, heads(k) * scale,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bhsc->bhtc", w, heads(v))
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = Dense(self.output_dim or c, dtype=self.dtype, name="c_proj")(a)
+        return out[:, 0]

@@ -789,3 +789,52 @@ def test_pixel_attention_unet_full_parity(torch_ref):
 
     _ingest_and_compare(expect, sd, ingest_unet, apply_ours, apply_torch,
                         atol=2e-4)
+
+
+def test_attention_pool2d_parity(torch_ref):
+    """CLIP-style AttentionPool2d vs the reference openaimodel module —
+    never instantiated by any shipped config, oracled for completeness.
+
+    No checkpoint ever carries these keys, so params are mapped directly
+    (conv1d [out,in,1] → dense [in,out]) instead of via an ingest mapper.
+    """
+    torch = torch_ref
+    import numpy as np
+
+    from ldm.modules.diffusionmodules.openaimodel import (
+        AttentionPool2d as TorchPool,
+    )
+
+    from fgdm_tpu.nn.attention import AttentionPool2d
+
+    torch.manual_seed(0)
+    sp, c, hch, out_dim = 8, 64, 16, 48
+    tp = TorchPool(spacial_dim=sp, embed_dim=c, num_heads_channels=hch,
+                   output_dim=out_dim).eval()
+    sd = {k: v.detach().numpy() for k, v in tp.state_dict().items()}
+
+    ours = AttentionPool2d(spacial_dim=sp, embed_dim=c,
+                           num_heads_channels=hch, output_dim=out_dim,
+                           dtype=jnp.float32)
+    params = {"params": {
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "qkv_proj": {
+            "kernel": jnp.asarray(sd["qkv_proj.weight"][:, :, 0].T),
+            "bias": jnp.asarray(sd["qkv_proj.bias"]),
+        },
+        "c_proj": {
+            "kernel": jnp.asarray(sd["c_proj.weight"][:, :, 0].T),
+            "bias": jnp.asarray(sd["c_proj.bias"]),
+        },
+    }}
+    # shape agreement with random init
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, sp, sp, c)))
+    assert jax.tree.map(jnp.shape, init) == jax.tree.map(jnp.shape, params)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, c, sp, sp)).astype(np.float32)
+    with torch.no_grad():
+        ref = tp(torch.from_numpy(x)).numpy()
+    out = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert out.shape == (2, out_dim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
