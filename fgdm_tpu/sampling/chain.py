@@ -41,6 +41,16 @@ def quantize_like_png(img01: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(img01, 0.0, 1.0) * 255.0) / 255.0
 
 
+def factor_slot_keys(slot_rngs: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Derive factor ``factor``'s per-slot keys from the chain's slot keys.
+
+    The ONE derivation both the fused chain and the staged serving path use
+    (factor 1 = condition sampler, 2 = the next factor / ControlNet render,
+    …), so their outputs stay bit-identical by construction.  Slot ``b``'s
+    stream depends only on ``slot_rngs[b]`` — never on batch composition."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, factor))(slot_rngs)
+
+
 def condition_to_hint(cond_img: jnp.ndarray,
                       out_hw: Tuple[int, int]) -> jnp.ndarray:
     """[0,1] condition map → hint: the reference's uint8 PNG hop between
@@ -73,6 +83,7 @@ def sample_condition_factor(
     cfg_scale: float = 7.5,
     eta: float = 0.0,
     x_T: Optional[jnp.ndarray] = None,
+    slot_rngs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Factor 1: text → condition-map latents (DDIM, fused CFG)."""
     sched = DDIMSchedule.create(ld.schedule, num_steps, eta=eta)
@@ -82,7 +93,7 @@ def sample_condition_factor(
         ld.denoise_fn(), rng, shape, sched,
         cond={"c_crossattn": cond_ctx},
         uncond={"c_crossattn": uncond_ctx},
-        cfg_scale=cfg_scale, x_T=x_T,
+        cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
     )
     return samples
 
@@ -99,6 +110,7 @@ def sample_image_factor(
     strength: float = 1.0,
     guess_mode: bool = False,
     x_T: Optional[jnp.ndarray] = None,
+    slot_rngs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Factor 2: condition image → image latents via ControlNet."""
     sched = DDIMSchedule.create(cldm.schedule, num_steps, eta=eta)
@@ -121,7 +133,7 @@ def sample_image_factor(
         samples, _ = ddim_sample(
             fn, rng, shape, sched,
             cond={"c_crossattn": cond_ctx, "c_concat": hint},
-            uncond=None, cfg_scale=1.0, x_T=x_T,
+            uncond=None, cfg_scale=1.0, x_T=x_T, slot_rngs=slot_rngs,
         )
         return samples
     if strength != 1.0:
@@ -133,7 +145,7 @@ def sample_image_factor(
         cldm.denoise_fn(), rng, shape, sched,
         cond={"c_crossattn": cond_ctx, "c_concat": hint},
         uncond={"c_crossattn": uncond_ctx, "c_concat": hint},
-        cfg_scale=cfg_scale, x_T=x_T,
+        cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
     )
     return samples
 
@@ -153,6 +165,7 @@ def fgdm_chain_n(
     f2_steps: int = 20,
     f2_scale: float = 9.0,
     all_pconds: bool = False,
+    slot_rngs: Optional[jnp.ndarray] = None,
 ) -> Dict[str, Any]:
     """N-factor chain (text→seg→depth→normal→…→image) in one traced program
     — BASELINE config #3.
@@ -171,7 +184,11 @@ def fgdm_chain_n(
     latent_hw = (cond_hw[0] // 8, cond_hw[1] // 8)
     zs = []
     for k, (ld_k, ctx_k) in enumerate(zip(factors, factor_ctxs)):
-        rng, rk = jax.random.split(rng)
+        if slot_rngs is None:
+            rng, rk = jax.random.split(rng)
+            sk = None
+        else:
+            rk, sk = None, factor_slot_keys(slot_rngs, k + 1)
         cond: Dict[str, Any] = {"c_crossattn": ctx_k}
         uncond: Dict[str, Any] = {"c_crossattn": empty_ctx}
         if k > 0:
@@ -187,7 +204,7 @@ def fgdm_chain_n(
         shape = (b, latent_hw[0], latent_hw[1], ld_k.unet_def.in_channels)
         z_k, _ = ddim_sample(
             ld_k.denoise_fn(), rk, shape, sched, cond=cond, uncond=uncond,
-            cfg_scale=factor_scale,
+            cfg_scale=factor_scale, slot_rngs=sk,
         )
         zs.append(z_k)
 
@@ -197,11 +214,15 @@ def fgdm_chain_n(
     ]
     image = None
     if cldm is not None:
-        rng, r2 = jax.random.split(rng)
+        if slot_rngs is None:
+            rng, r2 = jax.random.split(rng)
+            sk = None
+        else:
+            r2, sk = None, factor_slot_keys(slot_rngs, len(factors) + 1)
         hint = condition_to_hint(conditions[-1], image_hw)
         z_img = sample_image_factor(
             cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
-            num_steps=f2_steps, cfg_scale=f2_scale,
+            num_steps=f2_steps, cfg_scale=f2_scale, slot_rngs=sk,
         )
         image = cldm.decode_first_stage(z_img)
     return {"conditions": conditions, "image": image}
@@ -221,17 +242,29 @@ def fgdm_chain(
     f2_steps: int = 20,
     f1_scale: float = 7.5,
     f2_scale: float = 9.0,
+    slot_rngs: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full text→condition→image chain in one traceable function.
 
     Returns dict with 'condition' ([0,1] map at cond_hw), 'hint' (resized),
     and 'image' ([-1,1] at image_hw).
+
+    ``slot_rngs`` ([B] per-slot keys) switches all noise to per-slot streams
+    derived via :func:`factor_slot_keys` — slot results become invariant to
+    batch composition (the serving micro-batching contract); ``rng`` may
+    then be None.
     """
-    r1, r2 = jax.random.split(rng)
+    if slot_rngs is None:
+        r1, r2 = jax.random.split(rng)
+        s1 = s2 = None
+    else:
+        r1 = r2 = None
+        s1 = factor_slot_keys(slot_rngs, 1)
+        s2 = factor_slot_keys(slot_rngs, 2)
     z_cond = sample_condition_factor(
         ld, r1, prompt_ctx, empty_ctx,
         latent_hw=(cond_hw[0] // 8, cond_hw[1] // 8),
-        num_steps=f1_steps, cfg_scale=f1_scale,
+        num_steps=f1_steps, cfg_scale=f1_scale, slot_rngs=s1,
     )
     # one VAE decode serves both the returned condition map and the hint
     cond_img = jnp.clip(
@@ -240,7 +273,7 @@ def fgdm_chain(
     hint = condition_to_hint(cond_img, image_hw)
     z_img = sample_image_factor(
         cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
-        num_steps=f2_steps, cfg_scale=f2_scale,
+        num_steps=f2_steps, cfg_scale=f2_scale, slot_rngs=s2,
     )
     image = cldm.decode_first_stage(z_img)
     return {"condition": cond_img, "hint": hint, "image": image}

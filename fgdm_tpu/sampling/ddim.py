@@ -38,6 +38,27 @@ def _scan_unroll() -> int:
 # A denoise function: (x, t, cond) -> eps  where cond is an arbitrary pytree.
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
 
+# Tags for deriving independent per-slot noise streams from one slot key.
+_SLOT_INIT_TAG = 0       # x_T draw
+_SLOT_STEP_TAG = 1       # per-step sigma noise (eta > 0)
+_SLOT_MASK_TAG = 2       # inpainting re-noise draws
+
+
+def slot_noise(slot_rngs: jnp.ndarray, shape: Tuple[int, ...],
+               tag: int, step: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-slot normal draw: slot ``b`` of the result depends ONLY on
+    ``slot_rngs[b]`` (and ``tag``/``step``), never on the batch size or the
+    slot's position.  This is what makes serving micro-batching bit-identical
+    to solo execution at any slot assignment."""
+
+    def draw(k):
+        k = jax.random.fold_in(k, tag)
+        if step is not None:
+            k = jax.random.fold_in(k, step)
+        return jax.random.normal(k, shape[1:], jnp.float32)
+
+    return jax.vmap(draw)(slot_rngs)
+
 
 def _bshape(v, x):
     return v.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -105,6 +126,7 @@ def ddim_sample(
     schedule: Optional[DiffusionSchedule] = None,
     ucg_schedule: Optional[jnp.ndarray] = None,  # [S] per-step CFG scales
     guidance_fn: Optional[Callable] = None,  # (x,t,cond)->(eps,self,cross)
+    slot_rngs: Optional[jnp.ndarray] = None,  # [B] per-slot keys
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full DDIM sampling loop.
 
@@ -117,14 +139,30 @@ def ddim_sample(
     attention-alignment inner loop (reference ``inference_loss=True``,
     ddim.py:190-191,228-231): the model input is nudged by
     ``x ← x − ∇ₓ(align_loss)`` before the eps prediction at scheduled steps.
+
+    ``slot_rngs`` ([B] per-slot keys, e.g. ``vmap(PRNGKey)(seeds)``) switches
+    every noise draw to a per-slot stream (:func:`slot_noise`): slot ``b``'s
+    trajectory depends only on its own key, so results are invariant to
+    batch composition — the contract serving micro-batching relies on.
+    ``rng`` is ignored (may be None) when ``slot_rngs`` is given.
     """
     if mask is not None:
         assert x0 is not None and schedule is not None, \
             "inpainting needs x0 and the DDPM schedule"
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
+    per_slot = slot_rngs is not None
+    if per_slot:
+        assert slot_rngs.shape[0] == shape[0], (slot_rngs.shape, shape)
+        step_rngs = jnp.zeros((sched.num_steps,), jnp.uint32)  # unused
+        if x_T is None:
+            x = slot_noise(slot_rngs, shape, _SLOT_INIT_TAG)
+        else:
+            x = x_T
+    else:
+        rng, init_rng = jax.random.split(rng)
+        x = (jax.random.normal(init_rng, shape, jnp.float32)
+             if x_T is None else x_T)
+        step_rngs = jax.random.split(rng, sched.num_steps)
     S = sched.num_steps
-    step_rngs = jax.random.split(rng, S)
     eta_on = sched.eta != 0.0
 
     def body(x, per_step):
@@ -132,10 +170,12 @@ def ddim_sample(
         index = S - 1 - i
         t = jnp.full((shape[0],), sched.timesteps[index], dtype=jnp.int32)
         if mask is not None:
-            noise_rng, step_rng = jax.random.split(step_rng)
-            img_orig = schedule.q_sample(
-                x0, t, jax.random.normal(noise_rng, shape, jnp.float32)
-            )
+            if per_slot:
+                mask_noise = slot_noise(slot_rngs, shape, _SLOT_MASK_TAG, i)
+            else:
+                noise_rng, step_rng = jax.random.split(step_rng)
+                mask_noise = jax.random.normal(noise_rng, shape, jnp.float32)
+            img_orig = schedule.q_sample(x0, t, mask_noise)
             x = img_orig * mask + (1.0 - mask) * x
         # per-step guidance-scale schedule (cldm ddim_hacked ucg_schedule)
         scale = cfg_scale if ucg_schedule is None else ucg_schedule[i]
@@ -145,9 +185,12 @@ def ddim_sample(
             e_t = guided_cfg_eps(guidance_fn, x, t, cond, uncond, scale, i)
         else:
             e_t = cfg_eps(denoise_fn, x, t, cond, uncond, scale)
-        noise = (
-            jax.random.normal(step_rng, shape, jnp.float32) if eta_on else None
-        )
+        if not eta_on:
+            noise = None
+        elif per_slot:
+            noise = slot_noise(slot_rngs, shape, _SLOT_STEP_TAG, i)
+        else:
+            noise = jax.random.normal(step_rng, shape, jnp.float32)
         x_prev, pred_x0 = ddim_step(x, e_t, index, sched, noise, temperature)
         out = ()
         if log_every_t:

@@ -1,6 +1,7 @@
 """Minimal HTTP serving front-end for the ChainEngine (stdlib only).
 
 POST /generate  {"prompts": ["..."], "seed": 0}
+                or {"prompts": [...], "seeds": [s0, s1, ...]} (per-prompt)
   → {"images": [...b64 PNG...], "conditions": [...b64 PNG...],
      "latency_s": float}
 GET /healthz
@@ -15,13 +16,12 @@ concurrency — batch slots are the way to scale a single chip, more
 processes/chips behind a balancer the way to scale out.
 
 ``batch_window_ms > 0`` turns on request coalescing (continuous
-micro-batching): concurrent /generate requests with the SAME seed are
-merged FIFO into one compiled-batch call until the batch is full or the
-window elapses after the first arrival.  Chip utilization rises toward
-max_batch under concurrent load; each slot's noise stays deterministic
-given (seed, slot index), but a coalesced request may land on different
-slots than it would solo — keep the default window 0 when bit-exact
-solo reproducibility matters more than throughput.
+micro-batching): concurrent /generate requests — any seeds — are merged
+FIFO into one compiled-batch call until the batch is full or the window
+elapses after the first arrival.  Chip utilization rises toward
+max_batch under concurrent load, and because the engine derives each
+slot's noise from that slot's own seed (per-slot RNG), a coalesced
+request is bit-identical to the same request run solo.
 """
 
 from __future__ import annotations
@@ -47,11 +47,11 @@ def _png_b64(arr: np.ndarray) -> str:
 
 
 class _Pending:
-    __slots__ = ("prompts", "seed", "event", "result", "error")
+    __slots__ = ("prompts", "seeds", "event", "result", "error")
 
-    def __init__(self, prompts, seed):
+    def __init__(self, prompts, seeds):
         self.prompts = list(prompts)
-        self.seed = seed
+        self.seeds = list(seeds)
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -61,10 +61,13 @@ class RequestBatcher:
     """Coalesces concurrent generate() calls into full compiled batches.
 
     A dispatcher thread takes the oldest pending request, then keeps
-    absorbing same-seed requests (FIFO, skipping ones that don't fit) until
-    the batch is full or ``window_ms`` has elapsed since dispatch started;
-    the group runs as ONE ``engine.generate`` call and each caller gets its
-    slice.  ``window_ms=0`` degenerates to a serializing passthrough."""
+    absorbing requests (FIFO, skipping ones that don't fit) until the batch
+    is full or ``window_ms`` has elapsed since dispatch started; the group
+    runs as ONE ``engine.generate`` call and each caller gets its slice.
+    Requests with *different seeds* coalesce: the engine's per-slot RNG
+    makes each slot's output depend only on its own (prompt, seed), so the
+    coalesced result is bit-identical to a solo run.  ``window_ms=0``
+    degenerates to a serializing passthrough."""
 
     def __init__(self, engine, window_ms: float = 0.0):
         self.engine = engine
@@ -85,8 +88,9 @@ class RequestBatcher:
     def compile_seconds(self):
         return self.engine.compile_seconds
 
-    def generate(self, prompts, seed: int = 0):
-        req = _Pending(prompts, seed)
+    def generate(self, prompts, seed: int = 0, seeds=None):
+        req = _Pending(prompts,
+                       seeds if seeds is not None else [seed] * len(prompts))
         with self._cv:
             self._q.append(req)
             self._cv.notify_all()
@@ -101,8 +105,7 @@ class RequestBatcher:
         deadline = time.monotonic() + self._window
         while slots < self.engine.max_batch:
             for i, r in enumerate(self._q):
-                if r.seed == group[0].seed and \
-                        slots + len(r.prompts) <= self.engine.max_batch:
+                if slots + len(r.prompts) <= self.engine.max_batch:
                     group.append(self._q.pop(i))
                     slots += len(group[-1].prompts)
                     break
@@ -121,8 +124,9 @@ class RequestBatcher:
                     self._cv.wait()
                 group = self._take_group()
             prompts = [p for r in group for p in r.prompts]
+            seeds = [s for r in group for s in r.seeds]
             try:
-                out = self.engine.generate(prompts, seed=group[0].seed)
+                out = self.engine.generate(prompts, seeds=seeds)
             except Exception as e:  # deliver the failure to every caller
                 for r in group:
                     r.error = e
@@ -236,8 +240,16 @@ def make_handler(engine, metrics: Optional[ServerMetrics] = None):
                                  f"per request"})
                     return
                 seed = int(req.get("seed", 0))
+                seeds = req.get("seeds")
+                if seeds is not None and (
+                        not isinstance(seeds, list)
+                        or len(seeds) != len(prompts)
+                        or not all(isinstance(s, int) for s in seeds)):
+                    self._send(400, {"error": "seeds must be a list of "
+                                              "ints, one per prompt"})
+                    return
                 t0 = time.perf_counter()
-                out = engine.generate(prompts, seed=seed)
+                out = engine.generate(prompts, seed=seed, seeds=seeds)
                 latency = time.perf_counter() - t0
                 metrics.observe(len(prompts), latency, error=False)
                 self._send(200, {
@@ -293,9 +305,10 @@ def main(argv=None):
                    "~2.3x faster cold start, bit-identical output "
                    "(--no-staged for the single fused program)")
     p.add_argument("--batch_window_ms", type=float, default=0.0,
-                   help="coalesce concurrent same-seed requests into full "
-                        "compiled batches, waiting up to this long after "
-                        "the first arrival (0 = off)")
+                   help="coalesce concurrent requests (any seeds — per-slot "
+                        "RNG keeps results bit-identical to solo runs) into "
+                        "full compiled batches, waiting up to this long "
+                        "after the first arrival (0 = off)")
     opt = p.parse_args(argv)
 
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm

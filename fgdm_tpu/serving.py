@@ -21,8 +21,14 @@ worst case by the largest stage, so it stays the server default.  The
 four programs (factor-1 sampler, decode+hint, factor-2 sampler, final
 decode) run back to back; the per-request cost is 3 extra host
 round-trips (~1 ms each next to a ~2.5 s chain) and the results are
-bit-identical (same PRNG splits, same stage math).  With the persistent
-``.jax_cache`` seeded, either path warms in ~111 s.
+bit-identical (same per-slot key derivation via ``factor_slot_keys``,
+same stage math).  With the persistent ``.jax_cache`` seeded, either
+path warms in ~111 s.
+
+RNG contract: every slot's noise is derived from that slot's own seed
+(``fgdm_chain(slot_rngs=...)``), so results are invariant to batch
+composition — request (prompt, seed) produces the same image solo or
+coalesced, and the micro-batcher may mix seeds freely in one batch.
 
 Multi-chip serving: pass a ``mesh`` (from ``parallel.mesh.create_mesh``) to
 shard the request batch over the 'data' axis — params are replicated on
@@ -49,10 +55,17 @@ from fgdm_tpu.sampling.chain import (
     A_PROMPT,
     N_PROMPT,
     condition_to_hint,
+    factor_slot_keys,
     fgdm_chain,
     sample_condition_factor,
     sample_image_factor,
 )
+
+
+def slot_keys_from_seeds(seeds: Sequence[int]) -> jnp.ndarray:
+    """[B] per-slot PRNG keys from per-request integer seeds (full 64-bit
+    range — python ints, not a jnp int array, so nothing truncates)."""
+    return jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
 
 
 class ChainEngine:
@@ -83,29 +96,34 @@ class ChainEngine:
         self._cfg = dict(f1_steps=f1_steps, f2_steps=f2_steps,
                          f1_scale=f1_scale, f2_scale=f2_scale)
 
-        def run(ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx):
+        def run(ld, cldm, slot_keys, p_ctx, e_ctx, cnp_ctx, cnn_ctx):
             return fgdm_chain(
-                ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx,
-                cond_hw=self.cond_hw, image_hw=self.image_hw, **self._cfg,
+                ld, cldm, None, p_ctx, e_ctx, cnp_ctx, cnn_ctx,
+                cond_hw=self.cond_hw, image_hw=self.image_hw,
+                slot_rngs=slot_keys, **self._cfg,
             )
 
         # stage programs: exactly fgdm_chain's dataflow, cut at the small
-        # inter-stage tensors (z latents / hint image)
-        def f1(ld, r1, p_ctx, e_ctx):
+        # inter-stage tensors (z latents / hint image).  Each stage derives
+        # its per-slot keys with the SAME factor_slot_keys tags the fused
+        # chain uses, so staged output is bit-identical by construction.
+        def f1(ld, slot_keys, p_ctx, e_ctx):
             return sample_condition_factor(
-                ld, r1, p_ctx, e_ctx,
+                ld, None, p_ctx, e_ctx,
                 latent_hw=(self.cond_hw[0] // 8, self.cond_hw[1] // 8),
-                num_steps=f1_steps, cfg_scale=f1_scale)
+                num_steps=f1_steps, cfg_scale=f1_scale,
+                slot_rngs=factor_slot_keys(slot_keys, 1))
 
         def dec_hint(ld, z_cond):
             cond_img = jnp.clip(
                 (ld.decode_first_stage(z_cond) + 1.0) / 2.0, 0.0, 1.0)
             return cond_img, condition_to_hint(cond_img, self.image_hw)
 
-        def f2(cldm, r2, hint, cnp_ctx, cnn_ctx):
+        def f2(cldm, slot_keys, hint, cnp_ctx, cnn_ctx):
             return sample_image_factor(
-                cldm, r2, hint, cnp_ctx, cnn_ctx,
-                num_steps=f2_steps, cfg_scale=f2_scale)
+                cldm, None, hint, cnp_ctx, cnn_ctx,
+                num_steps=f2_steps, cfg_scale=f2_scale,
+                slot_rngs=factor_slot_keys(slot_keys, 2))
 
         def dec2(cldm, z_img):
             return cldm.decode_first_stage(z_img)
@@ -128,16 +146,17 @@ class ChainEngine:
             self.ld = replicate(mesh, ld)
             self.cldm = replicate(mesh, cldm)
             repl, dsh = replicated(mesh), data_sharding(mesh)
+            # slot keys are batch-leading [B, 2] — they shard with the batch
             self._run = jax.jit(
                 run,
-                in_shardings=(repl, repl, repl, dsh, dsh, dsh, dsh),
+                in_shardings=(repl, repl, dsh, dsh, dsh, dsh, dsh),
                 out_shardings=dsh,
             )
-            self._f1 = jax.jit(f1, in_shardings=(repl, repl, dsh, dsh),
+            self._f1 = jax.jit(f1, in_shardings=(repl, dsh, dsh, dsh),
                                out_shardings=dsh)
             self._dec_hint = jax.jit(dec_hint, in_shardings=(repl, dsh),
                                      out_shardings=dsh)
-            self._f2 = jax.jit(f2, in_shardings=(repl, repl, dsh, dsh, dsh),
+            self._f2 = jax.jit(f2, in_shardings=(repl, dsh, dsh, dsh, dsh),
                                out_shardings=dsh)
             self._dec2 = jax.jit(dec2, in_shardings=(repl, dsh),
                                  out_shardings=dsh)
@@ -153,11 +172,11 @@ class ChainEngine:
             self._embed = jax.jit(
                 lambda ld, ids: ld.get_learned_conditioning(ids))
         if staged:
-            def run_staged(ld, cldm, rng, p_ctx, e_ctx, cnp_ctx, cnn_ctx):
-                r1, r2 = jax.random.split(rng)
-                z_cond = self._f1(ld, r1, p_ctx, e_ctx)
+            def run_staged(ld, cldm, slot_keys, p_ctx, e_ctx, cnp_ctx,
+                           cnn_ctx):
+                z_cond = self._f1(ld, slot_keys, p_ctx, e_ctx)
                 cond_img, hint = self._dec_hint(ld, z_cond)
-                z_img = self._f2(cldm, r2, hint, cnp_ctx, cnn_ctx)
+                z_img = self._f2(cldm, slot_keys, hint, cnp_ctx, cnn_ctx)
                 image = self._dec2(cldm, z_img)
                 return {"condition": cond_img, "hint": hint, "image": image}
 
@@ -180,18 +199,31 @@ class ChainEngine:
 
     def _warmup(self):
         ctxs = self._contexts(["warmup"])
-        out = self._run(self.ld, self.cldm, jax.random.PRNGKey(0), *ctxs)
+        keys = slot_keys_from_seeds([0] * self.max_batch)
+        out = self._run(self.ld, self.cldm, keys, *ctxs)
         jax.block_until_ready(out["image"])
 
-    def generate(self, prompts: Sequence[str], seed: int = 0
+    def generate(self, prompts: Sequence[str], seed: int = 0,
+                 seeds: Optional[Sequence[int]] = None
                  ) -> Dict[str, np.ndarray]:
-        """≤max_batch prompts → dict with uint8 'images' and 'conditions'."""
+        """≤max_batch prompts → dict with uint8 'images' and 'conditions'.
+
+        Noise is **per-slot**: slot ``b`` depends only on its own seed
+        (``seeds[b]``, or the shared ``seed``), so a prompt+seed pair yields
+        the same image whether it runs solo or coalesced into any batch —
+        the contract that lets the micro-batcher mix seeds freely."""
         n = len(prompts)
         if n == 0 or n > self.max_batch:
             raise ValueError(
                 f"got {n} prompts; engine compiled for 1..{self.max_batch}")
+        if seeds is None:
+            seeds = [seed] * n
+        elif len(seeds) != n:
+            raise ValueError(f"{len(seeds)} seeds for {n} prompts")
+        keys = slot_keys_from_seeds(
+            list(seeds) + [0] * (self.max_batch - n))
         ctxs = self._contexts(prompts)
-        out = self._run(self.ld, self.cldm, jax.random.PRNGKey(seed), *ctxs)
+        out = self._run(self.ld, self.cldm, keys, *ctxs)
         imgs = np.asarray(
             jnp.clip((out["image"] + 1) / 2, 0, 1) * 255).astype(np.uint8)
         conds = np.asarray(

@@ -234,6 +234,48 @@ def test_chain_n_three_factors(tiny_pipeline):
                            np.asarray(out_b["conditions"][1]))
 
 
+def test_chain_n_per_slot_rng(tiny_pipeline):
+    """fgdm_chain_n(slot_rngs=...): slot results are invariant to batch
+    composition across every factor and the ControlNet render."""
+    ld, cldm = tiny_pipeline
+    factors = [ld, ld]
+    ctx2 = jnp.zeros((2, 77, 64))
+    ctx1 = jnp.zeros((1, 77, 64))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2))
+
+    @jax.jit
+    def run2(keys):
+        return chain.fgdm_chain_n(
+            factors, cldm, None, [ctx2, ctx2], ctx2,
+            cn_prompt_ctx=ctx2, cn_neg_ctx=ctx2,
+            cond_hw=(64, 64), image_hw=(64, 64),
+            factor_steps=2, f2_steps=2, slot_rngs=keys)
+
+    @jax.jit
+    def run1(keys):
+        return chain.fgdm_chain_n(
+            factors, cldm, None, [ctx1, ctx1], ctx1,
+            cn_prompt_ctx=ctx1, cn_neg_ctx=ctx1,
+            cond_hw=(64, 64), image_hw=(64, 64),
+            factor_steps=2, f2_steps=2, slot_rngs=keys)
+
+    out2 = run2(keys)
+    # same executable, permuted slots → bit-exact permuted outputs
+    perm = run2(keys[jnp.array([1, 0])])
+    for c2, cp in zip(out2["conditions"], perm["conditions"]):
+        np.testing.assert_array_equal(np.asarray(c2)[::-1], np.asarray(cp))
+    np.testing.assert_array_equal(np.asarray(out2["image"])[::-1],
+                                  np.asarray(perm["image"]))
+    # a different batch shape is a different XLA executable — fusion choices
+    # differ, so cross-shape agreement is to float precision, not bits
+    out1 = run1(keys[1:])
+    for c2, c1 in zip(out2["conditions"], out1["conditions"]):
+        np.testing.assert_allclose(np.asarray(c2)[1], np.asarray(c1)[0],
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2["image"])[1],
+                               np.asarray(out1["image"])[0], atol=1e-5)
+
+
 def test_quantize_like_png():
     x = jnp.array([0.0, 0.5, 1.0, 1.5, -0.2])
     q = chain.quantize_like_png(x)

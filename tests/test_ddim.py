@@ -116,3 +116,37 @@ def test_intermediates_logging(sched):
     _, inter = ddim_sample(denoise, jax.random.PRNGKey(0), (1, 4, 4, 4), d,
                            None, cfg_scale=1.0, log_every_t=5)
     assert inter["x_inter"].shape[0] == 2  # 10 steps / every 5
+
+
+def test_per_slot_rng_batch_invariance(sched):
+    """slot_rngs: slot b's trajectory depends only on slot_rngs[b] —
+    permuting/slicing the batch permutes/slices the outputs, including the
+    eta>0 per-step noise and the inpainting mask draws."""
+    s, _ = sched
+    d = DDIMSchedule.create(s, 10, eta=1.0)  # exercise per-step noise too
+
+    def denoise(x, t, cond):
+        return 0.1 * x  # slot-local model
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(3))
+    shape3 = (3, 4, 4, 2)
+    x3, _ = ddim_sample(denoise, None, shape3, d, cond={}, slot_rngs=keys)
+    # permuted keys → permuted outputs
+    perm = jnp.array([2, 0, 1])
+    xp, _ = ddim_sample(denoise, None, shape3, d, cond={},
+                        slot_rngs=keys[perm])
+    np.testing.assert_array_equal(np.asarray(x3)[perm], np.asarray(xp))
+    # a smaller batch reproduces its slots exactly
+    x1, _ = ddim_sample(denoise, None, (1,) + shape3[1:], d, cond={},
+                        slot_rngs=keys[1:2])
+    np.testing.assert_array_equal(np.asarray(x3)[1], np.asarray(x1)[0])
+
+    # inpainting path: mask noise is also per-slot
+    mask = jnp.zeros(shape3).at[:, :2].set(1.0)
+    x0 = jnp.ones(shape3)
+    xm3, _ = ddim_sample(denoise, None, shape3, d, cond={}, slot_rngs=keys,
+                         mask=mask, x0=x0, schedule=s)
+    xm1, _ = ddim_sample(denoise, None, (1,) + shape3[1:], d, cond={},
+                         slot_rngs=keys[2:], mask=mask[2:], x0=x0[2:],
+                         schedule=s)
+    np.testing.assert_array_equal(np.asarray(xm3)[2], np.asarray(xm1)[0])

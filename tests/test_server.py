@@ -85,8 +85,11 @@ def test_generate_rejects_bad_requests(server_port):
 
 
 def test_batching_coalesces_concurrent_requests(engine):
-    """Two concurrent same-seed requests merge into ONE compiled-batch
-    call; different seeds stay separate batches."""
+    """Two concurrent requests with DIFFERENT seeds merge into ONE
+    compiled-batch call, and each caller's slice is bit-identical to its
+    solo run (the engine's per-slot RNG contract)."""
+    import numpy as np
+
     from fgdm_tpu.server import RequestBatcher
 
     calls = []
@@ -97,15 +100,16 @@ def test_batching_coalesces_concurrent_requests(engine):
         compile_seconds = engine.compile_seconds
 
         @staticmethod
-        def generate(prompts, seed=0):
-            calls.append((tuple(prompts), seed))
-            return real_generate(prompts, seed=seed)
+        def generate(prompts, seed=0, seeds=None):
+            calls.append((tuple(prompts), tuple(seeds or [])))
+            return real_generate(prompts, seed=seed, seeds=seeds)
 
     batcher = RequestBatcher(Counting, window_ms=2000)
     results = {}
+    req_seeds = {"a cat": 0, "a dog": 7}
 
     def hit(name):
-        results[name] = batcher.generate([name], seed=0)
+        results[name] = batcher.generate([name], seed=req_seeds[name])
 
     threads = [threading.Thread(target=hit, args=(n,))
                for n in ("a cat", "a dog")]
@@ -116,14 +120,13 @@ def test_batching_coalesces_concurrent_requests(engine):
     assert set(results) == {"a cat", "a dog"}
     for r in results.values():
         assert r["images"].shape[0] == 1
-    same_seed_calls = [c for c in calls if c[1] == 0]
-    assert len(same_seed_calls) == 1  # coalesced
-    assert len(same_seed_calls[0][0]) == 2
-    # a different seed cannot share the batch
-    out = batcher.generate(["a bird"], seed=7)
-    assert out["images"].shape[0] == 1
-    assert calls[-1][1] == 7 and len(calls) == 2
-    assert batcher.batches_run == 2
+    assert len(calls) == 1 and len(calls[0][0]) == 2  # mixed-seed coalesce
+    assert batcher.batches_run == 1
+    # bit-identity with solo runs, whichever slot each request landed on
+    for name, s in req_seeds.items():
+        solo = real_generate([name], seed=s)
+        np.testing.assert_array_equal(results[name]["images"][0],
+                                      solo["images"][0])
 
 
 def test_batching_server_roundtrip(engine):

@@ -63,6 +63,26 @@ def test_seed_determinism(engine):
     assert not np.array_equal(a, c)
 
 
+def test_slot_invariance(engine):
+    """Per-slot RNG: (prompt, seed) yields the same image in ANY batch
+    composition or slot position — the micro-batching contract."""
+    solo = engine.generate(["a cat"], seed=7)
+    slot0 = engine.generate(["a cat", "a dog"], seeds=[7, 3])
+    slot1 = engine.generate(["a dog", "a cat"], seeds=[3, 7])
+    np.testing.assert_array_equal(solo["images"][0], slot0["images"][0])
+    np.testing.assert_array_equal(solo["images"][0], slot1["images"][1])
+    np.testing.assert_array_equal(solo["conditions"][0],
+                                  slot0["conditions"][0])
+    # and the dog half is its own independent stream
+    dog = engine.generate(["a dog"], seed=3)
+    np.testing.assert_array_equal(dog["images"][0], slot1["images"][0])
+
+
+def test_per_request_seeds_validation(engine):
+    with pytest.raises(ValueError):
+        engine.generate(["a", "b"], seeds=[1])
+
+
 def test_mesh_sharded_engine_matches_single_chip(engine):
     """DP serving over the 8-device CPU mesh: batch shards over 'data',
     params replicate, and the output matches the single-chip engine
