@@ -56,6 +56,7 @@ def make_train_step(
     encode_first_stage: bool = True,
     mesh: Optional[Mesh] = None,
     infer_state_sharding: bool = False,
+    infer_ld_sharding: bool = False,
     condition: Optional[ConditionSynth] = None,
 ):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
@@ -66,6 +67,11 @@ def make_train_step(
     runs a frozen annotator on ``batch['image']`` inside the compiled step
     to synthesize the factor's training target (depth/normal/sketch configs;
     reference ddpm.py:137-150,397-419).
+
+    ``infer_state_sharding`` honors the state's existing placements (TP via
+    ``parallel.tp.shard_params_tp``, FSDP via
+    ``parallel.fsdp.shard_state_fsdp``); ``infer_ld_sharding`` does the same
+    for the frozen VAE/CLIP pipeline so it too can be FSDP-stored.
     """
 
     def loss_fn(trainable, frozen, ld_in, batch, rng):
@@ -109,9 +115,10 @@ def make_train_step(
         # tensor-parallel params placed by parallel.tp.shard_params_tp);
         # XLA SPMD propagates the layouts and inserts the TP collectives.
         state_sharding = None if infer_state_sharding else repl
+        ld_sharding = None if infer_ld_sharding else repl
         jitted = jax.jit(
             train_step_impl,
-            in_shardings=(repl, state_sharding, data, repl),
+            in_shardings=(ld_sharding, state_sharding, data, repl),
             out_shardings=None if infer_state_sharding else (repl, repl),
             donate_argnums=(1,),
         )

@@ -114,3 +114,97 @@ def test_tp_byte_coverage_sd_unet():
             if tp_spec(_split_path(p), tuple(v.shape), n_model) != P():
                 sh += b
         assert sh / tot > 0.99, f"model={n_model}: {sh/tot:.1%}"
+
+
+def test_fsdp_spec_rules():
+    from fgdm_tpu.parallel.fsdp import fsdp_spec
+
+    # largest divisible dim wins
+    assert fsdp_spec((320, 2560), 8, min_size=0) == P(None, "data")
+    assert fsdp_spec((2560, 320), 8, min_size=0) == P("data", None)
+    # conv HWIO: channels, not the 3x3 taps
+    assert fsdp_spec((3, 3, 320, 640), 8, min_size=0) == \
+        P(None, None, None, "data")
+    # small leaves stay put
+    assert fsdp_spec((320,), 8) == P()
+    # scalars / indivisible shapes stay put
+    assert fsdp_spec((), 8, min_size=0) == P()
+    assert fsdp_spec((7, 13), 8, min_size=0) == P()
+    # composes with TP: 'model' dim is taken, 'data' goes elsewhere
+    assert fsdp_spec((320, 2560), 8, base=P(None, "model"), min_size=0) == \
+        P("data", "model")
+    # already data-sharded → unchanged
+    assert fsdp_spec((320, 2560), 8, base=P("data", None), min_size=0) == \
+        P("data", None)
+
+
+def test_fsdp_train_step_matches_replicated():
+    """FSDP-stored state (params+opt+EMA sharded over 'data') and an
+    FSDP-stored frozen pipeline must step to the same loss as plain DP,
+    with per-device shards actually 1/8th-sized."""
+    from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
+    from fgdm_tpu.models.autoencoder import AutoencoderKL
+    from fgdm_tpu.models.clip import CLIPTextEncoder
+    from fgdm_tpu.models.unet import UNetModel
+    from fgdm_tpu.parallel.fsdp import count_fsdp, shard_state_fsdp
+    from fgdm_tpu.train.state import TrainState, adapter_filter, make_adamw
+    from fgdm_tpu.train.train_step import make_train_step
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = jax.random.PRNGKey(0)
+    unet = UNetModel(model_channels=32, num_heads=4, context_dim=64,
+                     channel_mult=(1, 2), attention_resolutions=(1, 2),
+                     num_res_blocks=1, dtype=jnp.float32)
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+                        resolution=64, dtype=jnp.float32)
+    clip = CLIPTextEncoder(vocab_size=128, embed_dim=64, num_layers=2,
+                           num_heads=4)
+    ld = LatentDiffusion.create(unet, vae, clip, rng, latent_size=8)
+    batch_host = {
+        "image": np.random.default_rng(0).standard_normal(
+            (8, 64, 64, 3)).astype(np.float32) * 0.1,
+        "input_ids": np.zeros((8, 77), np.int32),
+    }
+    mesh = create_mesh(n_data=8, n_model=1)
+    results = {}
+    for name in ("dp", "fsdp"):
+        tx = make_adamw(1e-2)
+        state = TrainState.create(ld.unet_params, tx,
+                                  trainable_filter=adapter_filter(),
+                                  use_ema=True)
+        state = replicate(mesh, state)
+        ld_in = ld
+        if name == "fsdp":
+            state = shard_state_fsdp(mesh, state, min_size=1024)
+            ld_in = shard_state_fsdp(mesh, ld, min_size=1024)
+            ns, total, frac = count_fsdp(mesh, state, min_size=1024)
+            assert frac > 0.8, f"FSDP sharded only {frac:.1%} of bytes"
+            # storage really is distributed: biggest frozen leaf holds
+            # 1/8th of its elements per device
+            big = max(jax.tree.leaves(state.frozen), key=lambda v: v.size)
+            shard = big.addressable_shards[0].data
+            assert shard.size * 8 == big.size, (shard.shape, big.shape)
+        step = make_train_step(ld_in, mesh=mesh,
+                               infer_state_sharding=name == "fsdp",
+                               infer_ld_sharding=name == "fsdp")
+        batch = shard_batch(mesh, batch_host)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        results[name] = (float(metrics["loss"]),
+                         float(metrics["grad_norm"]), new_state)
+
+    np.testing.assert_allclose(results["dp"][0], results["fsdp"][0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(results["dp"][1], results["fsdp"][1],
+                               rtol=1e-3)
+    # updated trainable params agree leaf-for-leaf (gather fsdp shards)
+    pd = jax.tree.map(np.asarray, results["dp"][2].params)
+    pf = jax.tree.map(np.asarray, results["fsdp"][2].params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+                 pd, pf)
+    # a second fsdp step runs on the (donated, inferred-sharding) output
+    state2, m2 = make_train_step(
+        ld, mesh=mesh, infer_state_sharding=True)(
+            results["fsdp"][2], shard_batch(mesh, batch_host),
+            jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
