@@ -52,6 +52,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=8,
                    help="batch-assembly threads (torch DataLoader "
                         "num_workers equivalent)")
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="ZeRO-3-style sharded storage: params/opt/EMA "
+                        "split over the mesh 'data' axis (parallel.fsdp); "
+                        "~n_devices x less HBM for state, identical math")
     p.add_argument("--debug", action="store_true")
     return p
 
@@ -232,6 +236,14 @@ def main(argv=None):
         print(f"[train] -r given but no checkpoints in {ckptdir} — "
               "starting fresh")
     state = replicate(mesh, state)
+    if opt.fsdp:
+        from fgdm_tpu.parallel.fsdp import count_fsdp, shard_state_fsdp
+
+        fsdp_min = int(os.environ.get("FGDM_FSDP_MIN_SIZE", 2 ** 15))
+        state = shard_state_fsdp(mesh, state, min_size=fsdp_min)
+        ns, total, frac = count_fsdp(mesh, state, min_size=fsdp_min)
+        print(f"[train] fsdp: {ns}/{total} state leaves sharded "
+              f"({frac:.0%} of bytes over {mesh.shape['data']} devices)")
 
     # -- scale_by_std auto-calibration on the first batch (ddpm.py:580-597)
     if spec.scale_by_std and start_step == 0:
@@ -247,12 +259,15 @@ def main(argv=None):
 
     step_fn = make_train_step(ld, mesh=mesh,
                               parameterization=spec.parameterization,
-                              condition=condition)
+                              condition=condition,
+                              infer_state_sharding=opt.fsdp)
     distill_fn = (make_train_step(ld, mesh=mesh, distill=True,
                                   parameterization=spec.parameterization,
-                                  condition=condition)
+                                  condition=condition,
+                                  infer_state_sharding=opt.fsdp)
                   if spec.apply_distill_loss else None)
-    eval_fn = (make_eval_step(ld, mesh=mesh, condition=condition)
+    eval_fn = (make_eval_step(ld, mesh=mesh, condition=condition,
+                              infer_state_sharding=opt.fsdp)
                if val_ds is not None else None)
 
     # -- image diagnostics (reference ImageLogger callback, main.py:313-417)

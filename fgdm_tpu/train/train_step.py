@@ -142,6 +142,7 @@ def make_eval_step(
     parameterization: str = "eps",
     mesh: Optional[Mesh] = None,
     condition: Optional[ConditionSynth] = None,
+    infer_state_sharding: bool = False,
 ):
     """Validation loss (plain + EMA weights), reference validation_step
     (ddpm.py:442-450)."""
@@ -173,9 +174,11 @@ def make_eval_step(
     if mesh is not None and mesh.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        jitted = jax.jit(eval_step_impl,
-                         in_shardings=(repl, repl, data, repl),
-                         out_shardings=repl)
+        jitted = jax.jit(
+            eval_step_impl,
+            in_shardings=(repl, None if infer_state_sharding else repl,
+                          data, repl),
+            out_shardings=repl)
     else:
         jitted = jax.jit(eval_step_impl)
 

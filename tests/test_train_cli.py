@@ -188,3 +188,44 @@ def test_train_cli_image_logger(workspace, monkeypatch):
     assert {"inputs", "reconstruction", "samples", "samples_inpainting",
             "samples_outpainting", "mask", "denoise_row", "diffusion_row",
             "progressive_row"} <= keys, sorted(keys)
+
+
+def test_train_cli_fsdp(workspace, monkeypatch, capsys):
+    """--fsdp: the train loop runs with ZeRO-3-sharded state (storage split
+    over the 8 virtual devices), checkpoints save, and the saved params
+    match a replicated-DP run step-for-step (identical math)."""
+    root, cfg_path = workspace
+    _tiny_clip(monkeypatch)
+    monkeypatch.setenv("FGDM_FSDP_MIN_SIZE", "1024")  # tiny leaves shard too
+    from fgdm_tpu.cli import train as train_cli
+
+    outs = {}
+    for name, extra in {"dp": [], "fsdp": ["--fsdp"]}.items():
+        logdir = root / f"logs_fsdp_{name}"
+        train_cli.main([
+            "-b", str(cfg_path), "-t", "--max_steps", "2",
+            "-l", str(logdir), "-n", name, "--seed", "7",
+            "--ckpt_every", "1", *extra,
+        ])
+        outs[name] = next(logdir.iterdir())
+    out = capsys.readouterr().out
+    assert "fsdp:" in out and "of bytes over 8 devices" in out
+
+    # restored checkpoints agree: sharded storage, identical training math
+    import jax
+
+    from fgdm_tpu.checkpoint.orbax_io import CheckpointManager
+
+    trees = {}
+    for name, run in outs.items():
+        mgr = CheckpointManager(str(run / "checkpoints"), keep=3,
+                                save_interval_steps=1)
+        # plain device restore: fine at tiny scale (restore_host needs a
+        # template when orbax metadata is absent in-process)
+        trees[name] = mgr.restore()
+    d = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a, np.float64) -
+                                         np.asarray(b, np.float64)))),
+        trees["dp"]["params"], trees["fsdp"]["params"])
+    assert max(jax.tree.leaves(d)) < 1e-5, sorted(
+        jax.tree.leaves(d), reverse=True)[:3]
