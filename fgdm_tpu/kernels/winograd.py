@@ -41,13 +41,26 @@ _AT = np.array([[1, 1, 1, 0],
                 [0, 1, -1, -1]], np.float32)
 
 
+import os
+
+# The f32 tile-transform intermediate is [B, th, tw, 4, 4, C] — 4× the
+# input plane in f32.  At VAE-decode spatial sizes (128-512², c 128-512)
+# that is gigabytes per conv and the whole-chain compile runs out of HBM
+# by a few MB (measured: "Used 15.75G of 15.75G").  Those convs are
+# bandwidth-bound anyway; the arithmetic-bound planes are the UNet's
+# (h ≤ 64, c 320-1280), so gate by spatial size.
+_MAX_HW = int(os.environ.get("FGDM_WINOGRAD_MAX_HW", "64"))
+
+
 def winograd_ok(x_shape, w_shape) -> bool:
-    """3×3 stride-1 SAME NHWC convs of any spatial size (internally padded
-    to even tiles); skip degenerate widths where matmuls can't fill the MXU."""
+    """3×3 stride-1 SAME NHWC convs on MXU-favourable planes: channels deep
+    enough to fill the MXU, spatial small enough that the 4×-f32 tile
+    intermediate stays cheap (UNet planes, not VAE-decode planes)."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     kh, kw, c, co = w_shape
-    return (kh, kw) == (3, 3) and c >= 64 and co >= 64
+    return ((kh, kw) == (3, 3) and c >= 64 and co >= 64
+            and x_shape[1] <= _MAX_HW and x_shape[2] <= _MAX_HW)
 
 
 def _tiles_4x4(xp: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
