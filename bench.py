@@ -133,16 +133,22 @@ def main():
             f1_steps=F1_STEPS, f2_steps=F2_STEPS,
         )["image"]
 
+    # Seeds are salted per process: the axon tunnel caches results per
+    # (program, args) pair ACROSS processes for a few minutes, so a rerun
+    # replaying PRNGKey(0..3) would be served cached outputs in ~10 ms
+    # and report inflated throughput (tools/profile_chain.py hit this).
+    salt = (os.getpid() * 1000003 + int(time.time())) % (1 << 20)
+
     # compile + warmup
     t0 = time.perf_counter()
-    out = run(ld, cldm, jax.random.PRNGKey(0))
+    out = run(ld, cldm, jax.random.PRNGKey(salt))
     out.block_until_ready()
     sys.stderr.write(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s\n")
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(ld, cldm, jax.random.PRNGKey(i + 1))
+        out = run(ld, cldm, jax.random.PRNGKey(salt + i + 1))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 

@@ -18,6 +18,12 @@ import jax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 
+# Per-process seed salt: the axon tunnel caches results per
+# (program, args) pair across processes for a few minutes; replaying
+# fixed seeds on a rerun returns cached outputs and inflates numbers.
+_SALT = (os.getpid() * 1000003 + int(time.time())) % (1 << 20)
+
+
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 try:
@@ -80,7 +86,7 @@ def main():
         "input_ids": jnp.zeros((BATCH, 77), jnp.int32),
     }
     t0 = time.perf_counter()
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(_SALT))
     jax.block_until_ready(metrics)
     sys.stderr.write(f"[bench_train] compile+first: "
                      f"{time.perf_counter()-t0:.1f}s "
@@ -96,7 +102,7 @@ def main():
     iters = 10
     t0 = time.perf_counter()
     for i in range(2, 2 + iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        state, metrics = step(state, batch, jax.random.PRNGKey(_SALT + i))
     # force completion: the tunnel is async, so read a scalar back
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
