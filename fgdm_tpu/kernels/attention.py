@@ -497,10 +497,134 @@ def _use_transposed(d):
     return _FLASH_TRANSPOSED and d <= _TRANSPOSE_MAX_D
 
 
+# ---------------------------------------------------------------------------
+# KV-streaming flash (wide head dims / long keys)
+# ---------------------------------------------------------------------------
+#
+# The row-major kernel keeps the whole K/V in VMEM per program — fine for
+# the UNet's multi-head shapes, but the VAE's *single-head d=512* mid
+# attention (models/autoencoder.py:VaeAttnBlock, reference
+# `ldm/modules/diffusionmodules/model.py:AttnBlock`) blows that budget at
+# N=4096 (k+v f32 resident = 16 MB before double-buffering; the remote
+# compiler rejects it).  XLA is no refuge: every materialized-score variant
+# measures 3-4 TF/s at [4,4096,512] (tools/probe_vae_attn.py).  This
+# variant streams K/V blocks through the grid's innermost ("arbitrary")
+# axis with the online-softmax state living in VMEM scratch across steps —
+# the standard TPU flash decomposition — so VMEM holds only
+# O(block_q·d + block_k·d) at a time.
+
+def _flash_kernel_kv(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                     scale, nkb):
+    """One (batch·head, q-block, k-block) program step.
+
+    q_ref [1, block_q, d], k_ref/v_ref [1, block_k, d] (this step's KV
+    block), o_ref [1, block_q, d].  acc/m/l scratch persist across the
+    innermost k grid axis; the output block is written once, on the last
+    k step (its index map ignores j, so the block stays resident).
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+    # m/l scratch hold the same value in all 128 lanes; a lane-axis max is
+    # the cheap way back to a [block_q, 1] column (no 1-lane slice).
+    m_prev = jnp.max(m_ref[...], axis=-1, keepdims=True)
+    l_prev = jnp.max(l_ref[...], axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nkb - 1)
+    def _emit():
+        l_fin = jnp.max(l_ref[...], axis=-1, keepdims=True)
+        o_ref[0] = (acc_ref[...] / l_fin).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_attention_kv(q, k, v, scale, block_q=None, block_k=None):
+    """KV-streaming flash: q [B,H,Nq,D] → [B,H,Nq,D].  Requires nk % block_k
+    == 0 (the dispatcher's nk % 512 gate guarantees a valid block_k)."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q or _FLASH_BLOCK_Q,
+                  max(128, 1 << (nq - 1).bit_length()))
+    block_k = block_k or 512
+    while nk % block_k and block_k > 128:
+        block_k //= 2
+    assert nk % block_k == 0, (nk, block_k)
+
+    q3 = q.reshape(b * h, nq, d)
+    k3 = k.reshape(b * h, nk, d)
+    v3 = v.reshape(b * h, nk, d)
+    q3, _ = _pad_to(q3, 2, 128)
+    k3, _ = _pad_to(k3, 2, 128)
+    v3, _ = _pad_to(v3, 2, 128)
+    q3, _ = _pad_to(q3, 1, block_q)
+    dp = q3.shape[-1]
+    nqp = q3.shape[1]
+
+    grid = (b * h, nqp // block_q, nk // block_k)
+    kernel = functools.partial(_flash_kernel_kv, scale=scale,
+                               nkb=nk // block_k)
+    call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, nqp, dp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda g, i, j: (g, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )
+    if not _INTERPRET:
+        call = functools.partial(call, compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")))
+    out = call()(q3, k3, v3)
+    return out[:, :nq, :d].reshape(b, h, nq, d)
+
+
+# Whole-KV VMEM residency model for the row-major kernel: k+v blocks,
+# double-buffered by Mosaic.  Above this, stream KV through the grid.
+_KV_RESIDENT_BUDGET = int(os.environ.get("FGDM_FLASH_KV_BUDGET",
+                                         str(8 * 1024 * 1024)))
+
+
+def _use_kv_stream(nk, d, itemsize):
+    dp = -(-d // 128) * 128
+    return 2 * 2 * nk * dp * itemsize > _KV_RESIDENT_BUDGET
+
+
 def _flash_dispatch(q, k, v, scale):
-    """Route to the transposed-layout kernel for sub-lane-width head dims."""
+    """Route to the transposed-layout kernel for sub-lane-width head dims,
+    and to the KV-streaming kernel when whole-KV residency won't fit."""
     if _use_transposed(q.shape[-1]):
         return _flash_attention_t(q, k, v, scale)
+    if _use_kv_stream(k.shape[2], q.shape[-1], q.dtype.itemsize):
+        return _flash_attention_kv(q, k, v, scale)
     return _flash_attention(q, k, v, scale)
 
 

@@ -76,22 +76,32 @@ class VaeAttnBlock(nn.Module):
         q = Conv2d(c, kernel_size=1, padding=0, dtype=self.dtype, name="q")(h)
         k = Conv2d(c, kernel_size=1, padding=0, dtype=self.dtype, name="k")(h)
         v = Conv2d(c, kernel_size=1, padding=0, dtype=self.dtype, name="v")(h)
-        q = q.reshape(b, hh * ww, c).astype(jnp.float32)
-        k = k.reshape(b, hh * ww, c).astype(jnp.float32)
+        q = q.reshape(b, hh * ww, c)
+        k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
         if self.seq_axis is not None:
             from fgdm_tpu.parallel.ring_attention import context_ring_attention
 
             h = context_ring_attention(
-                q[:, None], k[:, None], v[:, None].astype(jnp.float32),
+                q[:, None].astype(jnp.float32),
+                k[:, None].astype(jnp.float32),
+                v[:, None].astype(jnp.float32),
                 c ** -0.5, self.seq_axis)[:, 0].astype(v.dtype)
             h = h.reshape(b, hh, ww, c)
         else:
-            attn = jax.nn.softmax(
-                jnp.einsum("bic,bjc->bij", q, k) * (c ** -0.5), axis=-1
-            )
-            h = jnp.einsum(
-                "bij,bjc->bic", attn.astype(v.dtype), v).reshape(b, hh, ww, c)
+            # Fused single-head attention in the compute dtype (scores and
+            # softmax accumulate in f32 on every path).  On TPU at the 512²
+            # decode's N=4096/d=512 this routes to the KV-streaming flash
+            # kernel (kernels/attention.py:_flash_attention_kv) — every
+            # XLA materialized-score variant measures 3-4 TF/s standalone
+            # at that shape (tools/probe_vae_attn.py) and the whole-KV
+            # flash kernel exceeds VMEM.  Off-TPU this is the same
+            # f32-softmax einsum math as before (_xla_attention).
+            from fgdm_tpu.kernels.attention import multihead_attention
+
+            h = multihead_attention(
+                q[:, None], k[:, None], v[:, None], scale=c ** -0.5,
+            )[:, 0].astype(v.dtype).reshape(b, hh, ww, c)
         h = Conv2d(c, kernel_size=1, padding=0, dtype=self.dtype, name="proj_out")(h)
         return x + h
 

@@ -70,6 +70,43 @@ def test_flash_dispatch_routes_small_head_dims(monkeypatch):
     assert seen == ["t", "row"]
 
 
+@pytest.mark.parametrize("b,h,nq,nk,d", [
+    (2, 1, 1024, 1024, 512),   # VAE mid attention (512² decode, scaled down)
+    (1, 2, 600, 512, 512),     # padded q rows
+    (1, 1, 512, 1024, 160),    # wide row-major head dim, nq < nk
+])
+def test_flash_attention_kv_stream_matches_xla(np_rng, monkeypatch,
+                                               b, h, nq, nk, d):
+    monkeypatch.setattr(ka, "_INTERPRET", True)
+    q = np_rng.standard_normal((b, h, nq, d)).astype(np.float32)
+    k = np_rng.standard_normal((b, h, nk, d)).astype(np.float32)
+    v = np_rng.standard_normal((b, h, nk, d)).astype(np.float32)
+    scale = 1 / math.sqrt(d)
+    ref = ka._xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            scale)
+    out = ka._flash_attention_kv(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+        block_q=256, block_k=256,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_dispatch_streams_oversized_kv(monkeypatch):
+    seen = []
+    monkeypatch.setattr(ka, "_flash_attention_kv",
+                        lambda q, k, v, s: seen.append("kv") or q)
+    monkeypatch.setattr(ka, "_flash_attention",
+                        lambda q, k, v, s: seen.append("row") or q)
+    monkeypatch.setattr(ka, "_FLASH_TRANSPOSED", False)
+    # f32 single head d=512: whole-KV residency 2·2·nk·512·4 bytes crosses
+    # the 8 MB budget at nk=2048
+    big = jnp.zeros((1, 1, 4096, 512))
+    small = jnp.zeros((1, 1, 512, 512))
+    ka._flash_dispatch(big, big, big, 1.0)
+    ka._flash_dispatch(small, small, small, 1.0)
+    assert seen == ["kv", "row"]
+
+
 @pytest.mark.parametrize("d,nq,nk", [(40, 512, 512), (80, 256, 384)])
 def test_flash_backward_transposed_matches_xla_vjp(np_rng, monkeypatch,
                                                    d, nq, nk):
