@@ -78,7 +78,23 @@ def _pick_blocks(h, w, c, co, itemsize):
         bh //= 2
     while h % bh:
         bh //= 2
-    return bh, bco, _scoped_vmem(h, w, c, co, bh, bco, itemsize)
+    total = _scoped_vmem(h, w, c, co, bh, bco, itemsize)
+    if total > _VMEM_BUDGET:
+        # The 4MB weight-block preference overshot (e.g. 64²·512→512 picks
+        # bco=384 and busts the budget): retry the remaining, smaller co
+        # blocks before giving up — only reached where the old picker
+        # already failed, so established picks are unchanged.
+        for m in cands:
+            if m >= bco:
+                continue
+            bh2 = h
+            while bh2 > 8 and (_scoped_vmem(h, w, c, co, bh2, m, itemsize)
+                               > _VMEM_BUDGET or h % bh2):
+                bh2 //= 2
+            t2 = _scoped_vmem(h, w, c, co, bh2, m, itemsize)
+            if t2 <= _VMEM_BUDGET and h % bh2 == 0:
+                return bh2, m, t2
+    return bh, bco, total
 
 
 def _kernel(xp_ref, w_ref, b_ref, o_ref, *, bh, w_len, kdim):
@@ -138,18 +154,13 @@ def conv3x3_ok(x_shape, w_shape, dtype) -> bool:
     return total <= _VMEM_BUDGET and h % bh == 0
 
 
-def _conv3x3_fwd(x, w, b):
-    n, h, w_len, c = x.shape
-    co = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    w9 = w.reshape(9, c, co)
-    bh, bco, _ = _pick_blocks(h, w_len, c, co, x.dtype.itemsize)
-    b2 = jnp.broadcast_to(b.astype(jnp.float32)[None, :], (1, co))
-
+def _run_padded(xp, w9, b2, h, w_len, c, co, bh, bco):
+    """The pallas_call on an already-padded [N, h+2, w+2, C] input."""
+    n = xp.shape[0]
     grid = (n, h // bh, co // bco)
     return pl.pallas_call(
         functools.partial(_kernel, bh=bh, w_len=w_len, kdim=3),
-        out_shape=jax.ShapeDtypeStruct((n, h, w_len, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_len, co), xp.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h + 2, w_len + 2, c), lambda g, i, j: (g, 0, 0, 0)),
@@ -160,6 +171,109 @@ def _conv3x3_fwd(x, w, b):
                                lambda g, i, j: (g, i, 0, j)),
         interpret=_INTERPRET,
     )(xp, w9, b2)
+
+
+def _conv3x3_fwd(x, w, b):
+    n, h, w_len, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w9 = w.reshape(9, c, co)
+    bh, bco, _ = _pick_blocks(h, w_len, c, co, x.dtype.itemsize)
+    b2 = jnp.broadcast_to(b.astype(jnp.float32)[None, :], (1, co))
+    return _run_padded(xp, w9, b2, h, w_len, c, co, bh, bco)
+
+
+# ---------------------------------------------------------------------------
+# Height-slab decomposition for planes too large for VMEM residency
+# ---------------------------------------------------------------------------
+#
+# The VAE decoder's 128²-512² planes (models/autoencoder.py:Decoder;
+# reference `ldm/modules/diffusionmodules/model.py:Decoder`) exceed the
+# whole-plane VMEM budget, yet XLA's conv runs them at only 37-63 TF/s
+# when co ≤ 256 and 19 TF/s at 64²·512 (tools/profile_vae.py).  A SAME
+# 3×3 conv is separable over height slabs given a one-row halo — and the
+# kernel above already consumes a *pre-padded* plane, so the halo IS the
+# padding: slice s overlapping [hs+2]-row slabs from the padded input,
+# fold them into the batch axis, and run the identical kernel at h=hs.
+# The only new work is the XLA-side slab gather (≈(hs+2)/hs ≤ 1.25×
+# input bytes — noise against the conv's FLOPs at these shapes).
+
+def _pick_slabs(h, w, c, co, itemsize):
+    """Smallest power-of-two slab grid whose slab fits VMEM.
+
+    Returns (sh, sw, bh, bco) or None.  Height slabs first (free: rows are
+    contiguous); width slabs only when even 8-row slabs overflow (≥1024²
+    planes, where the per-pass row block bh·ws and its f32 accumulator
+    scale with the width).  Slab sides stay ≥ 8.
+    """
+    sw = 1
+    while w // sw >= 8 and w % sw == 0:
+        ws = w // sw
+        sh = 1
+        while h // sh >= 8 and h % sh == 0:
+            hs = h // sh
+            bh, bco, total = _pick_blocks(hs, ws, c, co, itemsize)
+            if total <= _VMEM_BUDGET and hs % bh == 0:
+                return sh, sw, bh, bco
+            sh *= 2
+        sw *= 2
+    return None
+
+
+def _conv3x3_slab_fwd(x, w, b):
+    n, h, w_len, c = x.shape
+    co = w.shape[-1]
+    picked = _pick_slabs(h, w_len, c, co, x.dtype.itemsize)
+    assert picked is not None, (x.shape, w.shape)
+    sh, sw, bh, bco = picked
+    hs, ws = h // sh, w_len // sw
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    slabs = jnp.stack(
+        [jnp.stack(
+            [xp[:, kh * hs:kh * hs + hs + 2, kw * ws:kw * ws + ws + 2]
+             for kw in range(sw)], axis=1)
+         for kh in range(sh)], axis=1,
+    ).reshape(n * sh * sw, hs + 2, ws + 2, c)
+    w9 = w.reshape(9, c, co)
+    b2 = jnp.broadcast_to(b.astype(jnp.float32)[None, :], (1, co))
+    out = _run_padded(slabs, w9, b2, hs, ws, c, co, bh, bco)
+    out = out.reshape(n, sh, sw, hs, ws, co).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(n, h, w_len, co)
+
+
+def conv3x3_vae_ok(x_shape, w_shape, dtype) -> bool:
+    """Slab-path dispatch gate: the measured-win family only.
+
+    Chained A/B at the decode shapes (batch 4, bf16, v5e; 3-iteration
+    min):  512²·128→128 — slab 6.72 ms vs XLA 11.23 (46 vs 27.5 TF/s,
+    +67%); every other plane is a wash (128²/256²: ±4%) or a loss
+    (64²·512→512: −12%), so only the largest-plane lowest-channel
+    convs — the decoder's level-0 ResBlocks, and their ≥1024²
+    counterparts — dispatch here.  The UNet backbone stays on XLA
+    everywhere (r3 chain A/B: fused XLA conv pipeline wins).
+
+    Full-chain A/B verdict (what decides the default): 1.6199 img/s with
+    the slab path vs 1.6188 without — noise.  The standalone 11.23 ms
+    XLA number is not what the chain pays; in-program convs overlap with
+    neighbouring ops and fuse their epilogues.  Shipping it would add
+    ~114 s of Mosaic compile (superlinear in custom-call count, NEXT.md)
+    for no measured chain win, so `FGDM_PALLAS_CONV_VAE` defaults off;
+    the kernel remains for chips/shapes where the balance differs
+    (e.g. ≥1024² tiled decode)."""
+    if not (_HAS_PLTPU and not _DISABLE):
+        return False
+    if not (_on_tpu() or _INTERPRET):
+        return False
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    kh, kw, c, co = w_shape
+    if (kh, kw) != (3, 3) or c != 128 or co != 128:
+        return False
+    _, h, w, _ = x_shape
+    if h < 512:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    return _pick_slabs(h, w, c, co, itemsize) is not None
 
 
 def _xla_conv3x3(x, w, b):
@@ -175,12 +289,15 @@ def _xla_conv3x3(x, w, b):
 def conv3x3(x, w, b):
     """3×3 stride-1 SAME conv, NHWC/HWIO, bias included.
 
-    Pallas when ``conv3x3_ok`` holds, XLA otherwise.  The backward pass
-    uses XLA's conv transpose/grad forms either way — training steps
-    remat their convs, so the forward kernel is what the step replays.
+    Whole-plane Pallas when ``conv3x3_ok`` holds, height-slab Pallas for
+    the ``conv3x3_vae_ok`` family, XLA otherwise.  The backward pass uses
+    XLA's conv transpose/grad forms either way — training steps remat
+    their convs, so the forward kernel is what the step replays.
     """
     if conv3x3_ok(x.shape, w.shape, x.dtype):
         return _conv3x3_fwd(x, w, b)
+    if conv3x3_vae_ok(x.shape, w.shape, x.dtype):
+        return _conv3x3_slab_fwd(x, w, b)
     return _xla_conv3x3(x, w, b)
 
 

@@ -23,6 +23,13 @@ from flax import linen as nn
 # Pallas direct 3×3 conv for VMEM-resident planes (kernels/conv.py);
 # measured slower than XLA convs in the chain A/B (NEXT.md) — off.
 _PALLAS_CONV = os.environ.get("FGDM_PALLAS_CONV", "0") == "1"
+# Height-slab Pallas conv for the VAE decoder's large low-channel planes
+# (kernels/conv.py:conv3x3_vae_ok): +67% over XLA standalone at
+# 512²·128→128, but a wash in the chain A/B (1.6199 vs 1.6188 img/s —
+# in-program XLA convs fuse epilogues and pipeline, standalone numbers
+# overstate them) at +114s of Mosaic compile — off, same policy as the
+# other conv reformulations (NEXT.md: chain A/B is the decider).
+_PALLAS_CONV_VAE = os.environ.get("FGDM_PALLAS_CONV_VAE", "0") == "1"
 # Winograd F(2,3) reformulation (kernels/winograd.py): 2.25× fewer MXU
 # FLOPs per 3×3 conv; parity-tested, awaiting an on-chip chain A/B — off.
 _WINOGRAD_CONV = os.environ.get("FGDM_WINOGRAD_CONV", "0") == "1"
@@ -148,12 +155,17 @@ class Conv2d(nn.Module):
         kernel = self.param(
             "kernel", kernel_init, (k, k, x.shape[-1], self.features), jnp.float32
         )
-        if _PALLAS_CONV and k == 3 and self.stride == 1 and self.use_bias \
+        if (_PALLAS_CONV or _PALLAS_CONV_VAE) and k == 3 \
+                and self.stride == 1 and self.use_bias \
                 and pad in ("SAME", [(1, 1), (1, 1)]):
-            from fgdm_tpu.kernels.conv import conv3x3, conv3x3_ok
+            from fgdm_tpu.kernels.conv import (conv3x3, conv3x3_ok,
+                                               conv3x3_vae_ok)
 
             xk = x.astype(self.dtype)
-            if conv3x3_ok(xk.shape, kernel.shape, xk.dtype):
+            if ((_PALLAS_CONV and conv3x3_ok(xk.shape, kernel.shape,
+                                             xk.dtype))
+                    or (_PALLAS_CONV_VAE and conv3x3_vae_ok(
+                        xk.shape, kernel.shape, xk.dtype))):
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
                 return conv3x3(xk, kernel.astype(self.dtype), bias)

@@ -55,10 +55,11 @@ def context_parallel_pipeline(ld, mesh: Mesh, axis: str = AXIS):
     # an A/B knob, default off — losing it process-wide under CP is correct)
     import fgdm_tpu.nn.layers as _nl
 
-    if _nl._PALLAS_CONV:
-        print("[context_parallel] disabling FGDM_PALLAS_CONV: Pallas conv "
-              "custom calls cannot be GSPMD-partitioned")
+    if _nl._PALLAS_CONV or _nl._PALLAS_CONV_VAE:
+        print("[context_parallel] disabling FGDM_PALLAS_CONV(_VAE): Pallas "
+              "conv custom calls cannot be GSPMD-partitioned")
         _nl._PALLAS_CONV = False
+        _nl._PALLAS_CONV_VAE = False
     updates = {"seq_axis": axis}
     if getattr(ld.unet_def, "fused_norm_silu", False):
         updates["fused_norm_silu"] = False

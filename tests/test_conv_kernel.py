@@ -48,6 +48,43 @@ def test_conv3x3_vjp_matches_xla(np_rng):
     np.testing.assert_allclose(np.asarray(db), np.asarray(rdb), atol=1e-4)
 
 
+@pytest.mark.parametrize("h,c,co", [
+    (128, 128, 128),   # forces s > 1 slabs
+    (64, 512, 512),    # VAE mid-block plane: whole-plane at the retried bco
+    (96, 256, 128),    # non-power-of-two height, co < c
+])
+def test_conv3x3_slab_interpret_matches_lax(np_rng, monkeypatch, h, c, co):
+    monkeypatch.setattr(kc, "_INTERPRET", True)
+    x = jnp.asarray(np_rng.standard_normal((2, h, h, c)), jnp.float32)
+    w = jnp.asarray(np_rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.standard_normal((co,)), jnp.float32)
+    assert kc._pick_slabs(h, h, c, co, 4) is not None
+    out = kc._conv3x3_slab_fwd(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, w, b)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_vae_gate_is_the_measured_win_family(monkeypatch):
+    monkeypatch.setattr(kc, "_on_tpu", lambda: True)
+    # UNet backbone shapes stay out (chain A/B: XLA wins there)
+    assert not kc.conv3x3_vae_ok((8, 64, 64, 320), (3, 3, 320, 320),
+                                 jnp.bfloat16)
+    assert not kc.conv3x3_vae_ok((8, 32, 32, 640), (3, 3, 640, 640),
+                                 jnp.bfloat16)
+    # mid-size decoder planes measured a wash or a loss: out
+    assert not kc.conv3x3_vae_ok((4, 256, 256, 512), (3, 3, 512, 256),
+                                 jnp.bfloat16)
+    assert not kc.conv3x3_vae_ok((4, 64, 64, 512), (3, 3, 512, 512),
+                                 jnp.bfloat16)
+    assert not kc.conv3x3_vae_ok((4, 512, 512, 256), (3, 3, 256, 128),
+                                 jnp.bfloat16)
+    # the +67% family: h ≥ 512, 128→128 (decoder level-0 ResBlocks)
+    assert kc.conv3x3_vae_ok((4, 512, 512, 128), (3, 3, 128, 128),
+                             jnp.bfloat16)
+    assert kc.conv3x3_vae_ok((1, 1024, 1024, 128), (3, 3, 128, 128),
+                             jnp.bfloat16)
+
+
 def test_conv3x3_dispatch_gates(monkeypatch):
     # shape gating only — pretend we're on the TPU backend (CPU test host)
     monkeypatch.setattr(kc, "_on_tpu", lambda: True)
