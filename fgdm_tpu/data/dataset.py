@@ -82,44 +82,65 @@ def _box_prefilter(img, target: int):
     return img
 
 
-def resize_pair(img, label, size: int, keep_aspect: bool = False):
-    img = _box_prefilter(img, size)
+def resize_group(imgs: Sequence, resamples: Sequence, size: int,
+                 keep_aspect: bool = False) -> List[np.ndarray]:
+    """Resize a group of aligned PIL images; the first drives geometry."""
+    lead = _box_prefilter(imgs[0], size)
     if keep_aspect:
-        scale = size / min(img.size)
-        img = img.resize(tuple(round(x * scale) for x in img.size),
-                         resample=Image.BICUBIC)
+        scale = size / min(lead.size)
+        target = tuple(round(x * scale) for x in lead.size)
     else:
-        img = img.resize((size, size), resample=Image.BICUBIC)
-    label = label.resize(img.size, resample=Image.NEAREST)
-    return np.array(img), np.array(label)
+        target = (size, size)
+    return [np.array(im.resize(target, resample=rs))
+            for im, rs in zip(imgs, resamples)]
+
+
+def resize_pair(img, label, size: int, keep_aspect: bool = False):
+    return tuple(resize_group([img, label], [Image.BICUBIC, Image.NEAREST],
+                              size, keep_aspect=keep_aspect))
+
+
+def _crop_group(imgs, resamples, smaller: int, size: int):
+    """Shared scale-then-crop body: scale so min side = ``smaller`` (lead
+    image BOX-prefiltered first, as the pair helpers always did), return
+    arrays pre-crop."""
+    lead = _box_prefilter(imgs[0], smaller)
+    scale = smaller / min(lead.size)
+    target = tuple(round(x * scale) for x in lead.size)
+    return [np.array(im.resize(target, resample=rs))
+            for im, rs in zip(imgs, resamples)]
+
+
+def center_crop_group(imgs: Sequence, resamples: Sequence,
+                      size: int) -> List[np.ndarray]:
+    arrs = _crop_group(imgs, resamples, size, size)
+    cy = (arrs[0].shape[0] - size) // 2
+    cx = (arrs[0].shape[1] - size) // 2
+    return [a[cy:cy + size, cx:cx + size] for a in arrs]
 
 
 def center_crop_pair(img, label, size: int):
-    img = _box_prefilter(img, size)
-    scale = size / min(img.size)
-    img = img.resize(tuple(round(x * scale) for x in img.size),
-                     resample=Image.BICUBIC)
-    label = label.resize(img.size, resample=Image.NEAREST)
-    ai, al = np.array(img), np.array(label)
-    cy = (ai.shape[0] - size) // 2
-    cx = (ai.shape[1] - size) // 2
-    return ai[cy:cy + size, cx:cx + size], al[cy:cy + size, cx:cx + size]
+    return tuple(center_crop_group([img, label],
+                                   [Image.BICUBIC, Image.NEAREST], size))
+
+
+def random_crop_group(imgs: Sequence, resamples: Sequence, size: int,
+                      rng: random.Random, min_crop_frac: float = 0.8,
+                      max_crop_frac: float = 1.0) -> List[np.ndarray]:
+    lo = math.ceil(size / max_crop_frac)
+    hi = math.ceil(size / min_crop_frac)
+    smaller = rng.randrange(lo, hi + 1)
+    arrs = _crop_group(imgs, resamples, smaller, size)
+    cy = rng.randrange(arrs[0].shape[0] - size + 1)
+    cx = rng.randrange(arrs[0].shape[1] - size + 1)
+    return [a[cy:cy + size, cx:cx + size] for a in arrs]
 
 
 def random_crop_pair(img, label, size: int, rng: random.Random,
                      min_crop_frac: float = 0.8, max_crop_frac: float = 1.0):
-    lo = math.ceil(size / max_crop_frac)
-    hi = math.ceil(size / min_crop_frac)
-    smaller = rng.randrange(lo, hi + 1)
-    img = _box_prefilter(img, smaller)
-    scale = smaller / min(img.size)
-    img = img.resize(tuple(round(x * scale) for x in img.size),
-                     resample=Image.BICUBIC)
-    label = label.resize(img.size, resample=Image.NEAREST)
-    ai, al = np.array(img), np.array(label)
-    cy = rng.randrange(ai.shape[0] - size + 1)
-    cx = rng.randrange(ai.shape[1] - size + 1)
-    return ai[cy:cy + size, cx:cx + size], al[cy:cy + size, cx:cx + size]
+    return tuple(random_crop_group(
+        [img, label], [Image.BICUBIC, Image.NEAREST], size, rng,
+        min_crop_frac=min_crop_frac, max_crop_frac=max_crop_frac))
 
 
 class SemanticDataset:

@@ -1,0 +1,295 @@
+"""Pose-factor dataset: COCO-WholeBody keypoints → Halpe-136 skeleton maps.
+
+The reference ships a pose dataset for FG-DM pose factors
+(`/root/reference/ldm/data/halpe_coco_wholebody_136.py:93-614` via
+`custom.py:22`) but it is dead code there — `custom.py:15` imports
+`ldm.data.simple_transform`, which does not exist in the repo.  This module
+is the working equivalent, rebuilt on this repo's data pipeline:
+
+- ``load_wholebody_keypoints`` parses COCO-WholeBody person-keypoints JSON
+  with the stdlib (no pycocotools) and assembles the reference's 136-joint
+  Halpe layout: 17 COCO body joints + 3 synthesized (head slot, neck =
+  shoulder midpoint, hip = hip midpoint; `halpe_coco_wholebody_136.py:
+  402-433`), then feet/face/hands from the wholebody extension fields.
+- ``render_skeleton`` rasterizes the `vis_pairs` edge table with the
+  bit-pattern joint palette (`color_map`, shared with the seg colorizer) —
+  thickness-3 lines + radius-3 discs, origin-pinned joints skipped
+  (`halpe_coco_wholebody_136.py:509-526`).
+- ``PoseDataset`` mirrors ``SemanticDataset``'s API (per-sample RNG,
+  group crop/flip over image+label+pose) and emits the reference's
+  training contract (`halpe_coco_wholebody_136.py:482-614`): ``pose``,
+  ``label``/``parts``, a caption, and ``image`` = the pose map alone
+  (``pose_only``) or the channel-concat [rgb | seg | pose] consumed by
+  joint factor training.
+
+Rendering happens once per sample on the host (cv2 raster, worker
+threads); the TPU step consumes the resulting NHWC batch unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from fgdm_tpu.data.colorize import color_map
+from fgdm_tpu.data.dataset import (
+    load_coco_captions,
+    random_crop_group,
+    resize_group,
+)
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+NUM_JOINTS = 136
+_VIS_THRESH = 0.35  # confidence → visible (halpe_coco_wholebody_136.py:435)
+
+# Halpe-136 skeleton edge table (reference `vis_pairs`,
+# halpe_coco_wholebody_136.py:122-138 — pure topology data; the drawing IS
+# the behaviour, so the table must match for rendered hints to match).
+_HEAD = [(0, 1), (0, 2), (1, 3), (2, 4)]
+_BODY = [(5, 18), (6, 18), (5, 7), (7, 9), (6, 8), (8, 10),
+         (17, 18), (18, 19), (19, 11), (19, 12),
+         (11, 13), (12, 14), (13, 15), (14, 16)]
+_FEET = [(20, 22), (25, 23), (21, 22), (24, 25), (15, 22), (16, 25)]
+_FACE = ([(i, i + 1) for i in range(26, 42)]          # jawline
+         + [(i, i + 1) for i in range(43, 47)]        # right brow
+         + [(i, i + 1) for i in range(48, 52)]        # left brow
+         + [(i, i + 1) for i in range(53, 56)]        # nose bridge
+         + [(i, i + 1) for i in range(57, 61)]        # nostrils
+         + [(i, i + 1) for i in range(62, 67)]        # right eye
+         + [(i, i + 1) for i in range(68, 73)]        # left eye
+         + [(i, i + 1) for i in range(74, 81)]        # outer lips
+         + [(i, i + 1) for i in range(81, 93)])       # lips
+def _hand(w):  # noqa: E306  (wrist + 4 joints per finger, 5 fingers)
+    pairs = []
+    for f in range(5):
+        base = w + 1 + 4 * f
+        pairs.append((w, base))
+        pairs += [(base + i, base + i + 1) for i in range(3)]
+    return pairs
+VIS_PAIRS: List = _HEAD + _BODY + _FEET + _FACE + _hand(94) + _hand(115)
+
+JOINT_COLORS = color_map(NUM_JOINTS + 1)[1:]  # skip background colour
+
+
+def assemble_halpe136(ann: Dict[str, Any]) -> Optional[np.ndarray]:
+    """One COCO-WholeBody person annotation → [136, 3] (x, y, vis) or None.
+
+    vis is 1 where the source confidence ≥ 0.35.  Coordinates are kept
+    even for low-confidence joints — the reference draws any joint whose
+    coordinates are nonzero and uses visibility only for the
+    no-visible-keypoint validity gate (`halpe_coco_wholebody_136.py:
+    435-443,521`); COCO GT pins unlabeled joints (v=0) to the origin,
+    which the renderer skips.  Returns None for crowd/empty annotations.
+    """
+    if ann.get("iscrowd", 0):
+        return None
+    body = list(ann.get("keypoints", []))
+    if len(body) != 17 * 3 or max(body, default=0) == 0:
+        return None
+    if ann.get("num_keypoints", 1) == 0:
+        return None
+    flat = body + [0.0] * 9  # slots 17-19: head/neck/hip, synthesized below
+    for key, n in (("foot_kpts", 6), ("face_kpts", 68),
+                   ("lefthand_kpts", 21), ("righthand_kpts", 21)):
+        ext = list(ann.get(key, []))
+        flat += ext if len(ext) == n * 3 else [0.0] * (n * 3)
+    kpts = np.asarray(flat, np.float32).reshape(NUM_JOINTS, 3)
+    kpts[:, 2] = (kpts[:, 2] >= _VIS_THRESH).astype(np.float32)
+    # neck = shoulder midpoint, hip = hip midpoint (reference :426-433);
+    # the reference synthesizes from any nonzero shoulders/hips
+    for mid, (a, b) in ((18, (5, 6)), (19, (11, 12))):
+        if kpts[a, :2].any() and kpts[b, :2].any():
+            kpts[mid, :2] = (kpts[a, :2] + kpts[b, :2]) / 2.0
+            kpts[mid, 2] = max(kpts[a, 2], kpts[b, 2])
+    if kpts[:, 2].sum() < 1:
+        return None
+    return kpts
+
+
+def render_skeleton(people: Sequence[np.ndarray], height: int, width: int,
+                    thickness: int = 3, radius: int = 3) -> np.ndarray:
+    """Rasterize Halpe-136 skeletons onto a black uint8 canvas.
+
+    Matches the reference's draw loop (`halpe_coco_wholebody_136.py:
+    509-526`): per-edge colour from the bit-pattern palette, line then two
+    end discs, edges with an origin-pinned endpoint skipped.
+    """
+    import cv2
+
+    canvas = np.zeros((height, width, 3), np.uint8)
+    for kpts in people:
+        pts = kpts[:, :2].round().astype(int)
+        for (a, b), color in zip(VIS_PAIRS, JOINT_COLORS):
+            j1, j2 = pts[a], pts[b]
+            if max(j1) == 0 or max(j2) == 0:
+                continue
+            c = tuple(int(v) for v in color)
+            cv2.line(canvas, tuple(j1), tuple(j2), c, thickness)
+            cv2.circle(canvas, tuple(j1), radius, c, -1)
+            cv2.circle(canvas, tuple(j2), radius, c, -1)
+    return canvas
+
+
+def load_wholebody_keypoints(ann_file: str) -> Dict[int, List[np.ndarray]]:
+    """person_keypoints/coco_wholebody JSON → {image_id: [[136,3]...]}."""
+    with open(ann_file) as f:
+        payload = json.load(f)
+    people: Dict[int, List[np.ndarray]] = {}
+    for ann in payload.get("annotations", []):
+        kpts = assemble_halpe136(ann)
+        if kpts is not None:
+            people.setdefault(ann["image_id"], []).append(kpts)
+    return people
+
+
+class PoseDataset:
+    """Image + seg label + rendered pose skeleton → FG-DM training dicts.
+
+    The working replacement for the reference's broken pose path; same
+    emitted keys (`halpe_coco_wholebody_136.py:482-614`), this repo's
+    per-sample-RNG determinism contract (SemanticDataset._sample_rng).
+    """
+
+    def __init__(
+        self,
+        image_size: int,
+        image_files: Sequence[str],
+        class_files: Sequence[str],
+        keypoints: Dict[str, List[np.ndarray]],
+        captions: Optional[Dict[str, List[str]]] = None,
+        random_crop: bool = True,
+        random_flip: bool = True,
+        is_train: bool = True,
+        pose_only: bool = False,
+        use_pose: bool = True,
+        seed: int = 0,
+    ):
+        assert len(image_files) == len(class_files)
+        self.size = image_size
+        self.images = list(image_files)
+        self.classes = list(class_files)
+        self.keypoints = keypoints  # image path → list of [136,3]
+        self.captions = captions or {}
+        self.random_crop = random_crop
+        self.random_flip = random_flip
+        self.is_train = is_train
+        self.pose_only = pose_only
+        self.use_pose = use_pose
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    # identical mixing law to SemanticDataset._sample_rng — the threaded
+    # loader calls sample(idx, salt=epoch) concurrently.
+    def _sample_rng(self, idx: int, salt: int) -> random.Random:
+        mixed = (self.seed * 0x9E3779B1 + salt) * 0x85EBCA77 + idx
+        return random.Random(mixed & 0xFFFFFFFFFFFFFFFF)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.sample(idx)
+
+    def sample(self, idx: int, salt: int = 0) -> Dict[str, Any]:
+        rng = self._sample_rng(idx, salt)
+        path = self.images[idx]
+        img = Image.open(path).convert("RGB")
+        label_img = Image.open(self.classes[idx]).convert("L")
+        w, h = img.size
+
+        pose = render_skeleton(self.keypoints.get(path, []), h, w) \
+            if self.use_pose else np.zeros((h, w, 3), np.uint8)
+        pose_img = Image.fromarray(pose)
+
+        group = [img, label_img, pose_img]
+        # pose renders resample NEAREST: bicubic would smear the palette
+        # colours that encode joint identity (same reason as the seg map).
+        resamples = [Image.BICUBIC, Image.NEAREST, Image.NEAREST]
+        if self.is_train and self.random_crop:
+            ai, al, ap = random_crop_group(group, resamples, self.size, rng)
+        else:
+            ai, al, ap = resize_group(group, resamples, self.size)
+
+        if self.random_flip and rng.random() < 0.5:
+            ai = ai[:, ::-1].copy()
+            al = al[:, ::-1].copy()
+            ap = ap[:, ::-1].copy()
+
+        rgb = ai.astype(np.float32) / 127.5 - 1.0
+        pose_f = ap.astype(np.float32) / 127.5 - 1.0
+
+        out: Dict[str, Any] = {"path": path, "label_ori": al.copy(),
+                               "pose": pose_f}
+        al = al.astype(np.int64)
+        parts = al.copy()
+        parts[parts == 255] = 182  # COCO-stuff unlabeled id (reference :562)
+        out["parts"] = parts
+        out["label"] = al
+
+        n = max(int(al.max()) + 1, 1)
+        from fgdm_tpu.data.dataset import colorize
+
+        seg_rgb = colorize(al, color_map(n)).astype(np.float32) / 127.5 - 1.0
+        if self.pose_only:
+            out["image"] = pose_f
+        else:
+            out["image"] = np.concatenate([rgb, seg_rgb, pose_f], axis=-1)
+
+        caps = self.captions.get(path, [""])
+        out["caption"] = (
+            rng.choice(caps) if (self.is_train and len(caps) > 1) else caps[0]
+        )
+        return out
+
+
+def load_pose_data(
+    data_dir: str,
+    image_size: int,
+    is_train: bool = True,
+    ann_file: Optional[str] = None,
+    **kwargs,
+) -> PoseDataset:
+    """Factory over the COCO directory layout the seg loader already uses.
+
+    ``annotations/person_keypoints_{split}.json`` (or a coco_wholebody
+    file via ``ann_file``) supplies keypoints; captions come from the
+    standard captions JSON; label PNGs follow the reference's
+    images/→annotations/ path convention (`halpe_coco_wholebody_136.py:
+    498`).  Images with no valid person are kept with an empty skeleton —
+    pose factors must learn blank hints for peopleless scenes.
+    """
+    split = "train2017" if is_train else "val2017"
+    img_dir = os.path.join(data_dir, "images", split)
+    ann_file = ann_file or os.path.join(
+        data_dir, "annotations", f"person_keypoints_{split}.json")
+    by_id = load_wholebody_keypoints(ann_file)
+    with open(ann_file) as f:
+        images_meta = json.load(f).get("images", [])
+    images, classes = [], []
+    keypoints: Dict[str, List[np.ndarray]] = {}
+    for meta in images_meta:
+        path = os.path.join(img_dir, meta["file_name"])
+        if not os.path.exists(path):
+            continue
+        label = path.replace("/images/", "/annotations/")
+        label = label.rsplit(".", 1)[0] + ".png"
+        if not os.path.exists(label):
+            continue
+        images.append(path)
+        classes.append(label)
+        keypoints[path] = by_id.get(meta["id"], [])
+    captions = None
+    cap_file = os.path.join(data_dir, "annotations", f"captions_{split}.json")
+    if os.path.exists(cap_file):
+        captions = load_coco_captions(data_dir, is_train)
+    return PoseDataset(
+        image_size, images, classes, keypoints, captions=captions,
+        is_train=is_train, **kwargs,
+    )
