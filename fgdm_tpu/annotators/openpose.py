@@ -204,3 +204,23 @@ class OpenposeDetector:
         conns = score_limbs(paf, peaks)
         canvas = np.zeros((h, w, 3), np.uint8)
         return draw_bodypose(canvas, peaks, conns)
+
+
+def load_openpose(ckpt_path: str, dtype=jnp.float32) -> OpenposeDetector:
+    """Strict loader: body_pose torch checkpoint → OpenposeDetector.
+    Raises on any missing/unexpected key (schema
+    `/root/reference/controlnet/annotator/openpose/model.py:24-142`)."""
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_openpose
+    from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
+
+    model = BodyPoseNet(dtype=dtype)
+    expect = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    params, missing, unexpected = ingest_openpose(
+        load_torch_state_dict(ckpt_path), expect=expect)
+    if missing or unexpected:
+        raise ValueError(
+            f"OpenPose ingest from {ckpt_path}: {len(missing)} missing "
+            f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:3]})")
+    return OpenposeDetector(jax.tree.map(jnp.asarray, params), model)

@@ -16,7 +16,10 @@ FID needs ``--ref_dir`` (real images); the backend is InceptionV3-pool3
 when ``--inception_ckpt`` is given (standard FID), else the CLIP tower
 (CLIP-FID).  mIoU — the FG-DM paper's condition-adherence metric — needs
 ``--cond_dir`` (the requested colorized seg maps) + ``--seg_ckpt``
-(UniFormer weights to re-segment the generated images).  Fails loud when
+(UniFormer weights to re-segment the generated images).  The other factor
+families score the same way: ``--depth_dir``/``--normal_dir`` (MiDaS
+re-annotation), ``--sketch_dir`` (PiDiNet edge-F1), ``--pose_dir``
+(OpenPose skeleton-F1).  Fails loud when
 weights or the CLIP vocab are absent — a hash-fallback tokenizer or
 random towers would silently produce garbage metrics.
 """
@@ -79,6 +82,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "via PiDiNet re-annotation")
     p.add_argument("--pidinet_ckpt", type=str, default=None,
                    help="PiDiNet table5 checkpoint for --sketch_dir")
+    p.add_argument("--pose_dir", type=str, default=None,
+                   help="requested skeleton renders (sorted to pair with "
+                        "the images) — enables pose adherence: generated "
+                        "images are re-annotated with OpenPose and scored "
+                        "as tolerant skeleton-F1")
+    p.add_argument("--openpose_ckpt", type=str, default=None,
+                   help="OpenPose body_pose checkpoint for --pose_dir")
     # metric backends
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP checkpoint (vision+text towers) for the "
@@ -369,6 +379,33 @@ def default_sketch_factory(opt):
     return edge_fn
 
 
+def default_pose_factory(opt):
+    """--openpose_ckpt → pose_fn: [B,H,W,3] float [0,1] → [B,H,W,3]
+    rendered skeleton maps in [0,1] (OpenPose re-detection; the network
+    runs jitted, peak grouping is host-side per image)."""
+    import numpy as np
+
+    if not (opt.openpose_ckpt and os.path.exists(opt.openpose_ckpt)):
+        raise SystemExit(
+            "[eval] --pose_dir needs --openpose_ckpt (OpenPose body_pose "
+            "weights) to re-detect poses on generated images")
+    from fgdm_tpu.annotators.openpose import load_openpose
+
+    try:
+        det = load_openpose(opt.openpose_ckpt)
+    except ValueError as e:
+        raise SystemExit(f"[eval] {e}")
+
+    def pose_fn(img01: np.ndarray) -> np.ndarray:
+        renders = [
+            det((np.clip(im, 0.0, 1.0) * 255).astype(np.uint8))
+            for im in np.asarray(img01)
+        ]
+        return np.stack(renders).astype(np.float32) / 255.0
+
+    return pose_fn
+
+
 def _reannotate(opt, imgs, factory, cond_dir: str, what: str):
     """Shared re-annotation driver: run ``factory(opt)`` over ``imgs`` in
     batches and load+resize the requested maps to the prediction grid.
@@ -477,7 +514,8 @@ def main(argv: Optional[Sequence[str]] = None,
          segmenter_factory=default_segmenter_factory,
          depth_factory=default_depth_factory,
          normal_factory=default_normal_factory,
-         sketch_factory=default_sketch_factory) -> dict:
+         sketch_factory=default_sketch_factory,
+         pose_factory=default_pose_factory) -> dict:
     opt = get_parser().parse_args(argv)
 
     import jax.numpy as jnp
@@ -509,12 +547,12 @@ def main(argv: Optional[Sequence[str]] = None,
         imgs, prompts = _generate(opt, clip_backend()[1])
 
     if not (prompts or opt.ref_dir or opt.cond_dir or opt.depth_dir
-            or opt.normal_dir or opt.sketch_dir):
+            or opt.normal_dir or opt.sketch_dir or opt.pose_dir):
         raise SystemExit(
             "[eval] nothing to score: give prompts (--prompt/--from-file) "
             "for CLIP score, --ref_dir for FID, or a condition dir "
-            "(--cond_dir/--depth_dir/--normal_dir/--sketch_dir) for "
-            "adherence metrics")
+            "(--cond_dir/--depth_dir/--normal_dir/--sketch_dir/--pose_dir) "
+            "for adherence metrics")
 
     metrics: dict = {"n_images": int(imgs.shape[0])}
     if prompts:
@@ -562,6 +600,13 @@ def main(argv: Optional[Sequence[str]] = None,
         pred, conds = _reannotate(opt, imgs, sketch_factory,
                                   opt.sketch_dir, "sketch")
         metrics.update(edge_f1(pred, conds.mean(-1)))
+
+    if opt.pose_dir:
+        from fgdm_tpu.utils.pose_metrics import skeleton_f1
+
+        pred, conds = _reannotate(opt, imgs, pose_factory,
+                                  opt.pose_dir, "pose")
+        metrics.update(skeleton_f1(pred, conds))
 
     line = json.dumps(metrics)
     print(line)

@@ -255,7 +255,16 @@ def load_data(
     **kwargs,
 ) -> SemanticDataset:
     """Dataset factory mirroring reference mode→directory conventions
-    (semantic.py:86-193)."""
+    (semantic.py:86-193).  Mode ``pose`` adds the pose factor family
+    (COCO-WholeBody keypoints → rendered Halpe-136 skeletons,
+    `data/pose.py` — working replacement for the reference's dead
+    `ldm/data/custom.py` path)."""
+    if dataset_mode == "pose":
+        from fgdm_tpu.data.pose import load_pose_data
+
+        return load_pose_data(
+            data_dir, image_size, is_train=is_train,
+            random_crop=random_crop, random_flip=random_flip, **kwargs)
     split_tv = "training" if is_train else "validation"
     if dataset_mode == "cityscapes":
         sub = "train" if is_train else "val"

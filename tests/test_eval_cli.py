@@ -403,6 +403,88 @@ def test_eval_normal_sketch_cli(tmp_path):
         eval_cli.main(["--images_dir", gen, "--sketch_dir", sdir])
 
 
+# ----------------------------------------------------------------- pose ----
+
+def test_skeleton_f1_math():
+    from fgdm_tpu.utils.pose_metrics import skeleton_f1
+
+    gt = np.zeros((1, 16, 16, 3))
+    gt[0, 8, 2:14, 0] = 1.0  # one horizontal limb
+    perfect = skeleton_f1(gt, gt, tol=0)
+    assert perfect["pose_f1"] == pytest.approx(1.0)
+    # one-pixel vertical shift: zero at tol=0, perfect within tolerance
+    shifted = np.roll(gt, 1, axis=1)
+    assert skeleton_f1(shifted, gt, tol=0)["pose_f1"] == 0.0
+    assert skeleton_f1(shifted, gt, tol=2)["pose_f1"] == pytest.approx(1.0)
+    # empty prediction: zero precision/recall, no NaN
+    z = skeleton_f1(np.zeros_like(gt), gt)
+    assert z["pose_f1"] == 0.0 and z["pose_recall"] == 0.0
+    # half the limb detected at tol=0 → recall 0.5, precision 1.0
+    half = gt.copy()
+    half[0, 8, 8:14, 0] = 0.0
+    m = skeleton_f1(half, gt, tol=0)
+    assert m["pose_precision"] == pytest.approx(1.0)
+    assert m["pose_recall"] == pytest.approx(0.5)
+
+
+def test_eval_pose_cli(tmp_path):
+    pytest.importorskip("cv2")
+    from fgdm_tpu.data.pose import render_skeleton
+
+    rng = np.random.default_rng(6)
+    gen = str(tmp_path / "gen")
+    os.makedirs(gen, exist_ok=True)
+    imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+    for i, a in enumerate(imgs):
+        Image.fromarray((a * 255).astype(np.uint8)).save(
+            os.path.join(gen, f"{i:03}.png"))
+
+    # toy pose annotator: a deterministic skeleton whose geometry depends
+    # on the image mean — the re-annotation of the "generated" images
+    def _kpts(img01):
+        c = 8 + int(img01.mean() * 8)
+        k = np.zeros((136, 3), np.float32)
+        k[5], k[6] = (c - 4, c - 4, 1), (c + 4, c - 4, 1)
+        k[11], k[12] = (c - 3, c + 5, 1), (c + 3, c + 5, 1)
+        k[18], k[19] = (c, c - 4, 1), (c, c + 5, 1)
+        return k
+
+    def toy_pose_factory(opt):
+        def fn(img01):
+            return np.stack([
+                render_skeleton([_kpts(im)], im.shape[0], im.shape[1],
+                                thickness=1, radius=1)
+                for im in img01]).astype(np.float32) / 255.0
+        return fn
+
+    pdir = str(tmp_path / "pose")
+    os.makedirs(pdir, exist_ok=True)
+    imgs_png = np.stack([
+        np.asarray(Image.open(os.path.join(gen, f"{i:03}.png")),
+                   np.float32) / 255.0 for i in range(2)])
+    for i in range(2):  # requested skeletons = the annotator's own output
+        p = toy_pose_factory(None)(imgs_png[i:i + 1])[0]
+        Image.fromarray((p * 255).astype(np.uint8)).save(
+            os.path.join(pdir, f"{i:03}.png"))
+    m = eval_cli.main(["--images_dir", gen, "--pose_dir", pdir],
+                      pose_factory=toy_pose_factory)
+    assert m["pose_f1"] == pytest.approx(1.0)
+    assert m["pose_precision"] == pytest.approx(1.0)
+
+    # a wrong skeleton (shifted far beyond tolerance) scores low
+    for i in range(2):
+        p = toy_pose_factory(None)(imgs_png[i:i + 1])[0]
+        Image.fromarray(np.roll((p * 255).astype(np.uint8), 15, axis=1)
+                        ).save(os.path.join(pdir, f"{i:03}.png"))
+    m2 = eval_cli.main(["--images_dir", gen, "--pose_dir", pdir],
+                       pose_factory=toy_pose_factory)
+    assert m2["pose_f1"] < 0.5
+
+    # missing weights fail loud on the real factory
+    with pytest.raises(SystemExit, match="openpose_ckpt"):
+        eval_cli.main(["--images_dir", gen, "--pose_dir", pdir])
+
+
 # --------------------------------------------------- CLIP schema oracle ----
 
 def _tiny_towers():

@@ -168,6 +168,17 @@ def test_pose_only_mode_and_determinism(pose_tree):
     assert not np.array_equal(a["image"], c["image"])
 
 
+def test_load_data_pose_mode(pose_tree):
+    """The config-system dataset factory routes mode 'pose' here, so
+    reference-style YAMLs reach the pose family through
+    `ldm.data.semantic.load_data` with dataset_mode: pose."""
+    from fgdm_tpu.data.dataset import load_data
+
+    ds = load_data("pose", str(pose_tree), image_size=32, pose_only=True)
+    assert len(ds) == 3
+    assert ds[0]["image"].shape == (32, 32, 3)
+
+
 def test_batch_iterator_consumes_pose_dataset(pose_tree):
     from fgdm_tpu.data.dataset import batch_iterator
 
