@@ -46,10 +46,12 @@ class ControlLDM(LatentDiffusion):
         cond = cond or {}
         context = cond.get("c_crossattn")
         hint = cond.get("c_concat")
+        hint_emb = cond.get("c_hint_emb")
         control = None
-        if hint is not None:
+        if hint is not None or hint_emb is not None:
             control = self.control_def.apply(
-                self.control_params, x_noisy, hint, t, context
+                self.control_params, x_noisy, hint, t, context,
+                hint_emb=hint_emb,
             )
             control = tuple(
                 c * s for c, s in zip(control, self.control_scales)
@@ -58,6 +60,17 @@ class ControlLDM(LatentDiffusion):
             self.unet_params, x_noisy, t, context=context,
             control=control, only_mid_control=self.only_mid_control,
             adapter_on=False, capture=capture,
+        )
+
+    def encode_hint(self, hint: jnp.ndarray) -> jnp.ndarray:
+        """Hint pyramid only: [B,H,W,3] in [0,1] → [B,H/8,W/8,mc].
+
+        The result is step-invariant, so samplers run this once and pass
+        it per step as ``cond['c_hint_emb']`` instead of ``c_concat``,
+        hoisting the pyramid (first conv at full render resolution) out
+        of the denoise scan."""
+        return self.control_def.apply(
+            self.control_params, None, hint, None, None, hint_only=True
         )
 
     @staticmethod

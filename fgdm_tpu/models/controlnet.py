@@ -51,28 +51,47 @@ class ControlNet(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,          # [B, h, w, 4] noisy latent
-        hint: jnp.ndarray,       # [B, 8h, 8w, 3] control image in [0,1]
-        timesteps: jnp.ndarray,  # [B]
-        context: jnp.ndarray,    # [B, 77, 768]
-    ) -> Tuple[jnp.ndarray, ...]:
+        x: Optional[jnp.ndarray],          # [B, h, w, 4] noisy latent
+        hint: Optional[jnp.ndarray],       # [B, 8h, 8w, 3] control in [0,1]
+        timesteps: Optional[jnp.ndarray],  # [B]
+        context: Optional[jnp.ndarray],    # [B, 77, 768]
+        hint_emb: Optional[jnp.ndarray] = None,  # precomputed pyramid out
+        hint_only: bool = False,
+    ):
+        """Returns the 13 zero-conv residual taps; with ``hint_only`` it
+        returns just the hint-pyramid embedding [B, h, w, mc] instead.
+
+        The pyramid's input is constant across a sampler's denoise steps,
+        so samplers compute it once (``hint_only=True``) and pass the
+        result back per step as ``hint_emb`` — hoisting 8 convs (the
+        first at full render resolution) out of the scan body.  The
+        reference recomputes it every forward (`cldm.py:792-798`).
+        """
         mc = self.model_channels
+        if hint_emb is None or hint_only:
+            # hint pyramid: 3→16→16→32↓→32→96↓→96→256↓→mc(zero)
+            g = hint.astype(self.dtype)
+            hint_chs = [(16, 1), (16, 1), (32, 2), (32, 1), (96, 2),
+                        (96, 1), (256, 2)]
+            conv_idx = 0
+            for ch_out, stride in hint_chs:
+                g = Conv2d(ch_out, kernel_size=3, stride=stride, padding=1,
+                           dtype=self.dtype,
+                           name=f"input_hint_block_{conv_idx}")(g)
+                g = silu(g)
+                conv_idx += 1
+            guided_hint = Conv2d(mc, kernel_size=3, zero_init=True,
+                                 dtype=self.dtype,
+                                 name=f"input_hint_block_{conv_idx}")(g)
+            if hint_only:
+                return guided_hint
+        else:
+            guided_hint = hint_emb.astype(self.dtype)
+
         time_embed_dim = mc * 4
         t_emb = timestep_embedding(timesteps, mc)
         emb = Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(t_emb)
         emb = Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(silu(emb))
-
-        # hint pyramid: 3→16→16→32↓→32→96↓→96→256↓→mc(zero)
-        g = hint.astype(self.dtype)
-        hint_chs = [(16, 1), (16, 1), (32, 2), (32, 1), (96, 2), (96, 1), (256, 2)]
-        conv_idx = 0
-        for ch_out, stride in hint_chs:
-            g = Conv2d(ch_out, kernel_size=3, stride=stride, padding=1,
-                       dtype=self.dtype, name=f"input_hint_block_{conv_idx}")(g)
-            g = silu(g)
-            conv_idx += 1
-        guided_hint = Conv2d(mc, kernel_size=3, zero_init=True, dtype=self.dtype,
-                             name=f"input_hint_block_{conv_idx}")(g)
 
         def res(name, ch_in, ch_out):
             return ResBlock(channels=ch_in, emb_channels=time_embed_dim,

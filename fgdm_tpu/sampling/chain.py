@@ -116,6 +116,10 @@ def sample_image_factor(
     sched = DDIMSchedule.create(cldm.schedule, num_steps, eta=eta)
     b, hh, ww, _ = hint.shape
     shape = (b, hh // 8, ww // 8, cldm.unet_def.in_channels)
+    # The hint pyramid is step-invariant: run it once here and thread the
+    # embedding through the scan instead of the raw hint (the reference
+    # recomputes the 8-conv pyramid every forward, cldm.py:792-798).
+    hint_emb = cldm.encode_hint(hint)
     if guess_mode:
         # Reference guess mode (initialize_cn.py:86-91): the uncond branch
         # gets c_concat=None — the UNet runs with NO control residuals at
@@ -132,7 +136,7 @@ def sample_image_factor(
 
         samples, _ = ddim_sample(
             fn, rng, shape, sched,
-            cond={"c_crossattn": cond_ctx, "c_concat": hint},
+            cond={"c_crossattn": cond_ctx, "c_hint_emb": hint_emb},
             uncond=None, cfg_scale=1.0, x_T=x_T, slot_rngs=slot_rngs,
         )
         return samples
@@ -143,8 +147,8 @@ def sample_image_factor(
     # (initialize_cn.py:86-87), so the fused-CFG concat handles it.
     samples, _ = ddim_sample(
         cldm.denoise_fn(), rng, shape, sched,
-        cond={"c_crossattn": cond_ctx, "c_concat": hint},
-        uncond={"c_crossattn": uncond_ctx, "c_concat": hint},
+        cond={"c_crossattn": cond_ctx, "c_hint_emb": hint_emb},
+        uncond={"c_crossattn": uncond_ctx, "c_hint_emb": hint_emb},
         cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
     )
     return samples

@@ -47,6 +47,27 @@ def test_controlnet_residual_count_and_shapes(tiny_controlnet):
     assert outs[-1].shape[-1] == 64  # middle at top mult
 
 
+def test_hoisted_hint_embedding_matches_per_step_path(tiny_controlnet):
+    """encode_hint + c_hint_emb (the sampler's scan-hoisted path) must
+    produce exactly the residuals of the per-forward c_concat path."""
+    cn, params = tiny_controlnet
+    rng = jax.random.PRNGKey(3)
+    # zero-init taps make every residual 0 — randomize to compare real work
+    params = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(7), a.shape,
+                                    a.dtype) * 0.02, params)
+    x = jax.random.normal(rng, (2, 16, 16, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 128, 128, 3))
+    t = jnp.array([5, 9])
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (2, 77, 64))
+    ref = cn.apply(params, x, hint, t, ctx)
+    emb = cn.apply(params, None, hint, None, None, hint_only=True)
+    assert emb.shape == (2, 16, 16, 32)
+    hoisted = cn.apply(params, x, None, t, ctx, hint_emb=emb)
+    for a, b in zip(ref, hoisted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_zero_convs_give_zero_residuals_at_init(tiny_controlnet):
     """Freshly initialized ControlNet must not perturb the UNet — all taps
     are zero-init 1×1 convs (cldm.py:789-790)."""
