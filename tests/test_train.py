@@ -162,11 +162,16 @@ def test_distill_capture_split_equivalence(tiny_ld):
 
     # randomize params: the fixture's zero-init head conv makes the model
     # output identically 0, which would hide batch-dependence
+    import zlib
+
     leaves = jax.tree_util.tree_leaves_with_path(tiny_ld.unet_params)
     keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    # stable per-leaf key: builtin hash() is process-salted, and an unlucky
+    # salt once drew a perturbation whose loss_simple delta fell under the
+    # 1e-6 assertion threshold
     noisy = jax.tree_util.tree_map_with_path(
         lambda p, x: x + 0.02 * jax.random.normal(
-            keys[hash(str(p)) % len(keys)], x.shape, x.dtype)
+            keys[zlib.crc32(str(p).encode()) % len(keys)], x.shape, x.dtype)
         if jnp.issubdtype(x.dtype, jnp.floating) else x,
         tiny_ld.unet_params)
     ld = tiny_ld.replace(unet_params=noisy)
