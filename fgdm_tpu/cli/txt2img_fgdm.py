@@ -164,6 +164,8 @@ def _run_factor_chain(opt, spec, dtype):
 
     image_hw = (512, 512) if opt.use_controlnet else (opt.H, opt.W)
 
+    sampler = "plms" if opt.plms else ("dpm" if opt.dpm else "ddim")
+
     @jax.jit
     def run(factors, cldm, rng, factor_ctxs, empty_ctx, cn_ctx, cn_neg):
         return chain_mod.fgdm_chain_n(
@@ -171,7 +173,7 @@ def _run_factor_chain(opt, spec, dtype):
             cn_prompt_ctx=cn_ctx, cn_neg_ctx=cn_neg,
             cond_hw=(opt.H, opt.W), image_hw=image_hw,
             factor_steps=opt.ddim_steps, factor_scale=opt.scale,
-            all_pconds=opt.all_pconds,
+            all_pconds=opt.all_pconds, factor_sampler=sampler,
         )
 
     os.makedirs(opt.outdir, exist_ok=True)

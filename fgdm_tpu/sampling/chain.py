@@ -27,7 +27,7 @@ from fgdm_tpu.core.schedules import DDIMSchedule
 from fgdm_tpu.diffusion.control import ControlLDM
 from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
 from fgdm_tpu.models.controlnet import guess_mode_scales
-from fgdm_tpu.sampling.ddim import ddim_sample
+from fgdm_tpu.sampling.ddim import _SLOT_INIT_TAG, ddim_sample, slot_noise
 
 A_PROMPT = "best quality, extremely detailed"
 N_PROMPT = (
@@ -84,18 +84,67 @@ def sample_condition_factor(
     eta: float = 0.0,
     x_T: Optional[jnp.ndarray] = None,
     slot_rngs: Optional[jnp.ndarray] = None,
+    sampler: str = "ddim",
 ) -> jnp.ndarray:
-    """Factor 1: text → condition-map latents (DDIM, fused CFG)."""
-    sched = DDIMSchedule.create(ld.schedule, num_steps, eta=eta)
+    """Factor 1: text → condition-map latents (fused CFG).
+
+    ``sampler`` ∈ {ddim, plms, dpm}: the chain CLI exposes the reference's
+    --plms/--dpm choices (`scripts/txt2img.py:329-335`) for the condition
+    factors too.  PLMS and DPM-Solver++ are deterministic after the start
+    noise, so per-slot invariance holds by deriving x_T from ``slot_rngs``
+    exactly as ddim_sample does.
+    """
     b = cond_ctx.shape[0]
     shape = (b, latent_hw[0], latent_hw[1], ld.unet_def.in_channels)
-    samples, _ = ddim_sample(
-        ld.denoise_fn(), rng, shape, sched,
-        cond={"c_crossattn": cond_ctx},
-        uncond={"c_crossattn": uncond_ctx},
-        cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
+    return _sample_factor_latents(
+        ld, rng, shape, {"c_crossattn": cond_ctx},
+        {"c_crossattn": uncond_ctx}, num_steps, cfg_scale, eta=eta,
+        x_T=x_T, slot_rngs=slot_rngs, sampler=sampler,
     )
-    return samples
+
+
+def _sample_factor_latents(
+    ld: LatentDiffusion,
+    rng: Optional[jax.Array],
+    shape: Tuple[int, ...],
+    cond: Dict[str, Any],
+    uncond: Dict[str, Any],
+    num_steps: int,
+    cfg_scale: float,
+    eta: float = 0.0,
+    x_T: Optional[jnp.ndarray] = None,
+    slot_rngs: Optional[jnp.ndarray] = None,
+    sampler: str = "ddim",
+) -> jnp.ndarray:
+    """Condition-factor latent sampling with a sampler choice (shared by
+    the 2-factor and N-factor chains)."""
+    if sampler == "ddim":
+        sched = DDIMSchedule.create(ld.schedule, num_steps, eta=eta)
+        samples, _ = ddim_sample(
+            ld.denoise_fn(), rng, shape, sched,
+            cond=cond, uncond=uncond,
+            cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
+        )
+        return samples
+    if x_T is None and slot_rngs is not None:
+        x_T = slot_noise(slot_rngs, shape, _SLOT_INIT_TAG)
+    if sampler == "plms":
+        from fgdm_tpu.sampling.plms import plms_sample
+
+        sched = DDIMSchedule.create(ld.schedule, num_steps, eta=eta)
+        samples, _ = plms_sample(
+            ld.denoise_fn(), rng, shape, sched,
+            cond=cond, uncond=uncond, cfg_scale=cfg_scale, x_T=x_T,
+        )
+        return samples
+    if sampler == "dpm":
+        from fgdm_tpu.sampling.dpm_solver import dpm_solver_sample
+
+        return dpm_solver_sample(
+            ld.denoise_fn(), rng, shape, ld.schedule,
+            cond, uncond, cfg_scale, steps=num_steps, x_T=x_T,
+        )
+    raise ValueError(f"unknown sampler {sampler!r} (ddim|plms|dpm)")
 
 
 def sample_image_factor(
@@ -170,6 +219,7 @@ def fgdm_chain_n(
     f2_scale: float = 9.0,
     all_pconds: bool = False,
     slot_rngs: Optional[jnp.ndarray] = None,
+    factor_sampler: str = "ddim",
 ) -> Dict[str, Any]:
     """N-factor chain (text→seg→depth→normal→…→image) in one traced program
     — BASELINE config #3.
@@ -203,12 +253,11 @@ def fgdm_chain_n(
             if all_pconds and k > 1:
                 extra = list(zs[:-1])
                 cond["extra_pconds"] = uncond["extra_pconds"] = extra
-        sched = DDIMSchedule.create(ld_k.schedule, factor_steps)
         b = ctx_k.shape[0]
         shape = (b, latent_hw[0], latent_hw[1], ld_k.unet_def.in_channels)
-        z_k, _ = ddim_sample(
-            ld_k.denoise_fn(), rk, shape, sched, cond=cond, uncond=uncond,
-            cfg_scale=factor_scale, slot_rngs=sk,
+        z_k = _sample_factor_latents(
+            ld_k, rk, shape, cond, uncond, factor_steps, factor_scale,
+            slot_rngs=sk, sampler=factor_sampler,
         )
         zs.append(z_k)
 
@@ -247,6 +296,7 @@ def fgdm_chain(
     f1_scale: float = 7.5,
     f2_scale: float = 9.0,
     slot_rngs: Optional[jnp.ndarray] = None,
+    f1_sampler: str = "ddim",
 ) -> Dict[str, jnp.ndarray]:
     """Full text→condition→image chain in one traceable function.
 
@@ -269,6 +319,7 @@ def fgdm_chain(
         ld, r1, prompt_ctx, empty_ctx,
         latent_hw=(cond_hw[0] // 8, cond_hw[1] // 8),
         num_steps=f1_steps, cfg_scale=f1_scale, slot_rngs=s1,
+        sampler=f1_sampler,
     )
     # one VAE decode serves both the returned condition map and the hint
     cond_img = jnp.clip(

@@ -32,11 +32,17 @@ class NoiseScheduleVP:
 
     def __init__(self, alphas_cumprod: jnp.ndarray):
         self.total_N = int(alphas_cumprod.shape[0])
-        # host float64 for the log table (jax default config has no x64)
-        log_alphas = jnp.asarray(
-            0.5 * np.log(np.asarray(alphas_cumprod, dtype=np.float64)),
-            dtype=jnp.float32,
-        )
+        if isinstance(alphas_cumprod, jax.core.Tracer):
+            # schedule arrives traced when the whole pipeline is a jit
+            # argument (chain/CLI paths); f32 log costs ~1e-7 rel here,
+            # the concrete branch below keeps f64 for the parity oracles
+            log_alphas = 0.5 * jnp.log(alphas_cumprod.astype(jnp.float32))
+        else:
+            # host float64 for the log table (jax default config has no x64)
+            log_alphas = jnp.asarray(
+                0.5 * np.log(np.asarray(alphas_cumprod, dtype=np.float64)),
+                dtype=jnp.float32,
+            )
         self.t_array = jnp.linspace(0.0, 1.0, self.total_N + 1)[1:]
         self.log_alpha_array = log_alphas
         self.T = 1.0
@@ -77,8 +83,12 @@ def dpm_solver_sample(
         t_end = 1.0 / ns.total_N
     b = shape[0]
 
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
+    if x_T is None:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape, jnp.float32)
+    else:
+        # deterministic after x_T — rng may be None (per-slot chain path)
+        x = x_T
 
     # time_uniform grid, steps+1 points from T to eps
     ts = jnp.linspace(t_start, t_end, steps + 1)

@@ -29,8 +29,12 @@ def plms_sample(
     cfg_scale: float = 7.5,
     x_T: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape, jnp.float32) if x_T is None else x_T
+    if x_T is None:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape, jnp.float32)
+    else:
+        # deterministic after x_T — rng may be None (per-slot chain path)
+        x = x_T
     S = sched.num_steps
     b = shape[0]
 

@@ -202,6 +202,48 @@ def test_guess_mode_uncond_has_no_control(tiny_pipeline):
                            atol=1e-5)
 
 
+def test_chain_factor_sampler_choice(tiny_pipeline):
+    """The chain factors accept the reference's --plms/--dpm sampler
+    choices (scripts/txt2img.py:329-335); per-slot invariance holds for
+    the deterministic samplers via the derived start noise."""
+    from fgdm_tpu.sampling.chain import sample_condition_factor
+    from fgdm_tpu.serving import slot_keys_from_seeds
+
+    ld, _cldm = tiny_pipeline
+    # zero-init head conv → eps ≡ 0 → every sampler degenerates to the
+    # same noise scaling; randomize so the update rules actually differ
+    rng0 = np.random.default_rng(3)
+    ld = ld.replace(unet_params=jax.tree.map(
+        lambda p: p + jnp.asarray(
+            rng0.standard_normal(p.shape).astype(np.float32) * 0.02),
+        ld.unet_params))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 64))
+    uctx = jnp.zeros((2, 77, 64))
+    keys = slot_keys_from_seeds([0, 1])
+    outs = {}
+    for sampler in ("ddim", "plms", "dpm"):
+        z = sample_condition_factor(
+            ld, None, ctx, uctx, latent_hw=(8, 8), num_steps=4,
+            slot_rngs=keys, sampler=sampler)
+        assert z.shape == (2, 8, 8, 4)
+        assert np.all(np.isfinite(np.asarray(z)))
+        outs[sampler] = np.asarray(z)
+    # same start noise, different update rules → different trajectories
+    assert not np.allclose(outs["ddim"], outs["plms"])
+    assert not np.allclose(outs["ddim"], outs["dpm"])
+    # slot invariance: slot 0 solo == slot 0 in the batch of two
+    z_solo = sample_condition_factor(
+        ld, None, ctx[:1], uctx[:1], latent_hw=(8, 8), num_steps=4,
+        slot_rngs=keys[:1], sampler="dpm")
+    # batch-1 and batch-2 programs fuse differently; identical math up to
+    # f32 reduction order
+    np.testing.assert_allclose(np.asarray(z_solo)[0], outs["dpm"][0],
+                               rtol=2e-3, atol=1e-3)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        sample_condition_factor(ld, None, ctx, uctx, latent_hw=(8, 8),
+                                num_steps=4, slot_rngs=keys, sampler="euler")
+
+
 def test_chain_n_three_factors(tiny_pipeline):
     """BASELINE config #3: text→seg→depth→normal→image as ONE jitted call;
     each factor adapter-prompted by the previous factor's latent."""

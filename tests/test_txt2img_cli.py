@@ -79,6 +79,38 @@ def test_single_factor_cli(tiny_cfg, tmp_path):
     assert arr.shape == (16, 16, 3)
 
 
+def test_single_factor_cli_dpm(tiny_cfg, tmp_path):
+    """--dpm under the jitted sample path: NoiseScheduleVP's log table must
+    build from a *traced* schedule (the pipeline is a jit argument — it
+    used to call host np.float64 on the tracer and crash)."""
+    from fgdm_tpu.cli.txt2img_fgdm import main
+
+    outdir = str(tmp_path / "out_dpm")
+    main(["--prompt", "a cat", "--config", tiny_cfg, "--ckpt", "/nonexistent",
+          "--dpm", "--outdir", outdir, "--n_samples", "1", "--ddim_steps",
+          "4", "--H", "64", "--W", "64", "--precision", "full", "--seed",
+          "3", "--skip_grid"])
+    pngs = _pngs_under(outdir)
+    assert len(pngs) == 1
+    assert np.isfinite(np.asarray(Image.open(pngs[0])).astype(float)).all()
+
+
+def test_factor_chain_cli_sampler_flags(tiny_cfg, tmp_path):
+    """--factors + --dpm/--plms: the N-factor chain honors the sampler
+    flags (factor_sampler plumbing)."""
+    from fgdm_tpu.cli.txt2img_fgdm import main
+
+    for flag in ("--dpm", "--plms"):
+        outdir = str(tmp_path / f"outn_{flag.strip('-')}")
+        main(["--prompt", "a dog", "--config", tiny_cfg,
+              "--factors", "seg,depth", "--factor_ckpts", ",", flag,
+              "--outdir", outdir, "--n_samples", "1", "--ddim_steps", "3",
+              "--H", "64", "--W", "64", "--precision", "full", "--seed", "3"])
+        seg = _pngs_under(os.path.join(outdir, "factor_seg"))
+        depth = _pngs_under(os.path.join(outdir, "factor_depth"))
+        assert len(seg) == 1 and len(depth) == 1
+
+
 def test_factor_chain_cli(tiny_cfg, tmp_path):
     """--factors seg,depth: two chained condition factors, per-factor output
     dirs, the second factor adapter-prompted by the first."""
