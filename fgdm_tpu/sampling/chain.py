@@ -160,8 +160,14 @@ def sample_image_factor(
     guess_mode: bool = False,
     x_T: Optional[jnp.ndarray] = None,
     slot_rngs: Optional[jnp.ndarray] = None,
+    sampler: str = "ddim",
 ) -> jnp.ndarray:
-    """Factor 2: condition image → image latents via ControlNet."""
+    """Factor 2: condition image → image latents via ControlNet.
+
+    ``sampler`` ∈ {ddim, plms, dpm} — same choice as the condition
+    factors; guess mode stays DDIM (its asymmetric-CFG closure is what
+    the reference defines for that mode, initialize_cn.py:86-91).
+    """
     sched = DDIMSchedule.create(cldm.schedule, num_steps, eta=eta)
     b, hh, ww, _ = hint.shape
     shape = (b, hh // 8, ww // 8, cldm.unet_def.in_channels)
@@ -169,6 +175,8 @@ def sample_image_factor(
     # embedding through the scan instead of the raw hint (the reference
     # recomputes the 8-conv pyramid every forward, cldm.py:792-798).
     hint_emb = cldm.encode_hint(hint)
+    if guess_mode and sampler != "ddim":
+        raise ValueError("guess mode supports only the ddim sampler")
     if guess_mode:
         # Reference guess mode (initialize_cn.py:86-91): the uncond branch
         # gets c_concat=None — the UNet runs with NO control residuals at
@@ -194,13 +202,13 @@ def sample_image_factor(
             control_scales=(strength,) * len(cldm.control_scales))
     # The hint rides in both cond and uncond branches
     # (initialize_cn.py:86-87), so the fused-CFG concat handles it.
-    samples, _ = ddim_sample(
-        cldm.denoise_fn(), rng, shape, sched,
-        cond={"c_crossattn": cond_ctx, "c_hint_emb": hint_emb},
-        uncond={"c_crossattn": uncond_ctx, "c_hint_emb": hint_emb},
-        cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
+    return _sample_factor_latents(
+        cldm, rng, shape,
+        {"c_crossattn": cond_ctx, "c_hint_emb": hint_emb},
+        {"c_crossattn": uncond_ctx, "c_hint_emb": hint_emb},
+        num_steps, cfg_scale, eta=eta, x_T=x_T, slot_rngs=slot_rngs,
+        sampler=sampler,
     )
-    return samples
 
 
 def fgdm_chain_n(
@@ -297,6 +305,7 @@ def fgdm_chain(
     f2_scale: float = 9.0,
     slot_rngs: Optional[jnp.ndarray] = None,
     f1_sampler: str = "ddim",
+    f2_sampler: str = "ddim",
 ) -> Dict[str, jnp.ndarray]:
     """Full text→condition→image chain in one traceable function.
 
@@ -329,6 +338,7 @@ def fgdm_chain(
     z_img = sample_image_factor(
         cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
         num_steps=f2_steps, cfg_scale=f2_scale, slot_rngs=s2,
+        sampler=f2_sampler,
     )
     image = cldm.decode_first_stage(z_img)
     return {"condition": cond_img, "hint": hint, "image": image}

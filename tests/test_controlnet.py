@@ -243,6 +243,18 @@ def test_chain_factor_sampler_choice(tiny_pipeline):
         sample_condition_factor(ld, None, ctx, uctx, latent_hw=(8, 8),
                                 num_steps=4, slot_rngs=keys, sampler="euler")
 
+    # the image factor takes the same choice; guess mode stays DDIM
+    from fgdm_tpu.sampling.chain import sample_image_factor
+
+    hint = jax.random.uniform(jax.random.PRNGKey(8), (2, 64, 64, 3))
+    z_img = sample_image_factor(_cldm, None, hint, ctx, uctx, num_steps=3,
+                                slot_rngs=keys, sampler="dpm")
+    assert z_img.shape == (2, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(z_img)))
+    with pytest.raises(ValueError, match="guess mode"):
+        sample_image_factor(_cldm, None, hint, ctx, uctx, num_steps=3,
+                            slot_rngs=keys, sampler="dpm", guess_mode=True)
+
 
 def test_chain_n_three_factors(tiny_pipeline):
     """BASELINE config #3: text→seg→depth→normal→image as ONE jitted call;
