@@ -47,6 +47,10 @@ BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "4"))
 PARAM_DTYPE = os.environ.get("FGDM_BENCH_PARAM_DTYPE", "f32")
 F1_STEPS = int(os.environ.get("FGDM_BENCH_F1_STEPS", "50"))
 F2_STEPS = int(os.environ.get("FGDM_BENCH_F2_STEPS", "20"))
+# A/B knobs: sampler per factor (ddim|plms|dpm) — e.g. the fast preset
+# FGDM_BENCH_F1_SAMPLER=dpm FGDM_BENCH_F1_STEPS=20
+F1_SAMPLER = os.environ.get("FGDM_BENCH_F1_SAMPLER", "ddim")
+F2_SAMPLER = os.environ.get("FGDM_BENCH_F2_SAMPLER", "ddim")
 
 
 def zeros_like_tree(tree):
@@ -131,6 +135,7 @@ def main():
             ld, cldm, rng, ctx, ctx, ctx, ctx,
             cond_hw=(256, 256), image_hw=(512, 512),
             f1_steps=F1_STEPS, f2_steps=F2_STEPS,
+            f1_sampler=F1_SAMPLER, f2_sampler=F2_SAMPLER,
         )["image"]
 
     # Seeds are salted per process: the axon tunnel caches results per

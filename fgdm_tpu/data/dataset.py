@@ -100,7 +100,7 @@ def resize_pair(img, label, size: int, keep_aspect: bool = False):
                               size, keep_aspect=keep_aspect))
 
 
-def _crop_group(imgs, resamples, smaller: int, size: int):
+def _crop_group(imgs, resamples, smaller: int):
     """Shared scale-then-crop body: scale so min side = ``smaller`` (lead
     image BOX-prefiltered first, as the pair helpers always did), return
     arrays pre-crop."""
@@ -113,7 +113,7 @@ def _crop_group(imgs, resamples, smaller: int, size: int):
 
 def center_crop_group(imgs: Sequence, resamples: Sequence,
                       size: int) -> List[np.ndarray]:
-    arrs = _crop_group(imgs, resamples, size, size)
+    arrs = _crop_group(imgs, resamples, size)
     cy = (arrs[0].shape[0] - size) // 2
     cx = (arrs[0].shape[1] - size) // 2
     return [a[cy:cy + size, cx:cx + size] for a in arrs]
@@ -130,7 +130,7 @@ def random_crop_group(imgs: Sequence, resamples: Sequence, size: int,
     lo = math.ceil(size / max_crop_frac)
     hi = math.ceil(size / min_crop_frac)
     smaller = rng.randrange(lo, hi + 1)
-    arrs = _crop_group(imgs, resamples, smaller, size)
+    arrs = _crop_group(imgs, resamples, smaller)
     cy = rng.randrange(arrs[0].shape[0] - size + 1)
     cx = rng.randrange(arrs[0].shape[1] - size + 1)
     return [a[cy:cy + size, cx:cx + size] for a in arrs]
@@ -141,6 +141,29 @@ def random_crop_pair(img, label, size: int, rng: random.Random,
     return tuple(random_crop_group(
         [img, label], [Image.BICUBIC, Image.NEAREST], size, rng,
         min_crop_frac=min_crop_frac, max_crop_frac=max_crop_frac))
+
+
+def sample_rng(seed: int, idx: int, salt: int) -> random.Random:
+    """The per-sample augmentation RNG — THE determinism contract shared by
+    every dataset in this package.
+
+    Augmentations depend only on (seed, salt, idx), so loads are
+    reproducible across runs and worker counts (the threaded loader calls
+    __getitem__ concurrently; a shared Random would interleave draws
+    nondeterministically).  ``salt`` is the epoch in the parallel loader,
+    so augmentations still vary across epochs — the reference's
+    worker_init_fn contract (`main.py:156-183`).  Mixed with odd constants
+    (splitmix-style) so nearby (idx, salt) pairs don't correlate.
+    """
+    mixed = (seed * 0x9E3779B1 + salt) * 0x85EBCA77 + idx
+    return random.Random(mixed & 0xFFFFFFFFFFFFFFFF)
+
+
+def choose_caption(caps: List[str], rng: random.Random,
+                   is_train: bool) -> str:
+    """Training samples draw one of the COCO captions; eval takes the
+    first (reference `semantic.py:505-508`)."""
+    return rng.choice(caps) if (is_train and len(caps) > 1) else caps[0]
 
 
 class SemanticDataset:
@@ -179,16 +202,7 @@ class SemanticDataset:
         return len(self.images)
 
     def _sample_rng(self, idx: int, salt: int) -> random.Random:
-        # Per-sample RNG: augmentations depend only on (seed, salt, idx), so
-        # loads are reproducible across runs and worker counts (the threaded
-        # loader calls __getitem__ concurrently; a shared Random would
-        # interleave draws nondeterministically).  ``salt`` is the epoch in
-        # the parallel loader, so augmentations still vary across epochs —
-        # the reference's worker_init_fn contract (`main.py:156-183`).
-        # Mix with odd constants (splitmix-style) so nearby (idx, salt)
-        # pairs don't produce correlated streams.
-        mixed = (self.seed * 0x9E3779B1 + salt) * 0x85EBCA77 + idx
-        return random.Random(mixed & 0xFFFFFFFFFFFFFFFF)
+        return sample_rng(self.seed, idx, salt)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         return self.sample(idx)
@@ -239,9 +253,7 @@ class SemanticDataset:
             out["rgb"] = rgb
 
         caps = self.captions.get(path, [""])
-        out["caption"] = (
-            rng.choice(caps) if (self.is_train and len(caps) > 1) else caps[0]
-        )
+        out["caption"] = choose_caption(caps, rng, self.is_train)
         return out
 
 

@@ -37,9 +37,11 @@ import numpy as np
 
 from fgdm_tpu.data.colorize import color_map
 from fgdm_tpu.data.dataset import (
+    choose_caption,
     load_coco_captions,
     random_crop_group,
     resize_group,
+    sample_rng,
 )
 
 try:
@@ -138,16 +140,21 @@ def render_skeleton(people: Sequence[np.ndarray], height: int, width: int,
     return canvas
 
 
-def load_wholebody_keypoints(ann_file: str) -> Dict[int, List[np.ndarray]]:
-    """person_keypoints/coco_wholebody JSON → {image_id: [[136,3]...]}."""
-    with open(ann_file) as f:
-        payload = json.load(f)
+def people_by_image(payload: Dict[str, Any]) -> Dict[int, List[np.ndarray]]:
+    """Parsed person_keypoints/coco_wholebody payload →
+    {image_id: [[136,3]...]}."""
     people: Dict[int, List[np.ndarray]] = {}
     for ann in payload.get("annotations", []):
         kpts = assemble_halpe136(ann)
         if kpts is not None:
             people.setdefault(ann["image_id"], []).append(kpts)
     return people
+
+
+def load_wholebody_keypoints(ann_file: str) -> Dict[int, List[np.ndarray]]:
+    """person_keypoints/coco_wholebody JSON → {image_id: [[136,3]...]}."""
+    with open(ann_file) as f:
+        return people_by_image(json.load(f))
 
 
 class PoseDataset:
@@ -188,11 +195,8 @@ class PoseDataset:
     def __len__(self) -> int:
         return len(self.images)
 
-    # identical mixing law to SemanticDataset._sample_rng — the threaded
-    # loader calls sample(idx, salt=epoch) concurrently.
     def _sample_rng(self, idx: int, salt: int) -> random.Random:
-        mixed = (self.seed * 0x9E3779B1 + salt) * 0x85EBCA77 + idx
-        return random.Random(mixed & 0xFFFFFFFFFFFFFFFF)
+        return sample_rng(self.seed, idx, salt)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         return self.sample(idx)
@@ -242,10 +246,8 @@ class PoseDataset:
         else:
             out["image"] = np.concatenate([rgb, seg_rgb, pose_f], axis=-1)
 
-        caps = self.captions.get(path, [""])
-        out["caption"] = (
-            rng.choice(caps) if (self.is_train and len(caps) > 1) else caps[0]
-        )
+        out["caption"] = choose_caption(
+            self.captions.get(path, [""]), rng, self.is_train)
         return out
 
 
@@ -269,9 +271,12 @@ def load_pose_data(
     img_dir = os.path.join(data_dir, "images", split)
     ann_file = ann_file or os.path.join(
         data_dir, "annotations", f"person_keypoints_{split}.json")
-    by_id = load_wholebody_keypoints(ann_file)
+    # one parse serves both the annotations and the image list (the real
+    # COCO keypoints JSON is ~250MB)
     with open(ann_file) as f:
-        images_meta = json.load(f).get("images", [])
+        payload = json.load(f)
+    by_id = people_by_image(payload)
+    images_meta = payload.get("images", [])
     images, classes = [], []
     keypoints: Dict[str, List[np.ndarray]] = {}
     for meta in images_meta:

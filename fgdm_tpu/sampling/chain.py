@@ -126,6 +126,11 @@ def _sample_factor_latents(
             cfg_scale=cfg_scale, x_T=x_T, slot_rngs=slot_rngs,
         )
         return samples
+    if eta != 0.0:
+        # plms: the multistep update has no stochastic term — nonzero
+        # sigmas would remove variance without re-injecting it (the
+        # reference PLMS asserts ddim_eta == 0).  dpm: ODE solver, no eta.
+        raise ValueError(f"sampler {sampler!r} requires eta=0 (got {eta})")
     if x_T is None and slot_rngs is not None:
         x_T = slot_noise(slot_rngs, shape, _SLOT_INIT_TAG)
     if sampler == "plms":
@@ -228,6 +233,7 @@ def fgdm_chain_n(
     all_pconds: bool = False,
     slot_rngs: Optional[jnp.ndarray] = None,
     factor_sampler: str = "ddim",
+    f2_sampler: str = "ddim",
 ) -> Dict[str, Any]:
     """N-factor chain (text→seg→depth→normal→…→image) in one traced program
     — BASELINE config #3.
@@ -284,6 +290,7 @@ def fgdm_chain_n(
         z_img = sample_image_factor(
             cldm, r2, hint, cn_prompt_ctx, cn_neg_ctx,
             num_steps=f2_steps, cfg_scale=f2_scale, slot_rngs=sk,
+            sampler=f2_sampler,
         )
         image = cldm.decode_first_stage(z_img)
     return {"conditions": conditions, "image": image}
