@@ -309,6 +309,12 @@ def main(argv=None):
                         "RNG keeps results bit-identical to solo runs) into "
                         "full compiled batches, waiting up to this long "
                         "after the first arrival (0 = off)")
+    p.add_argument("--f1_steps", type=int, default=50)
+    p.add_argument("--f1_sampler", type=str, default="ddim",
+                   choices=("ddim", "plms", "dpm"),
+                   help="condition-factor sampler; --f1_sampler dpm "
+                        "--f1_steps 20 is the fast preset (1.94 vs 1.63 "
+                        "img/s/chip measured)")
     opt = p.parse_args(argv)
 
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
@@ -317,7 +323,8 @@ def main(argv=None):
     ld = load_fgdm(opt.ckpt)
     cldm = load_controlnet(opt.cn_ckpt)
     engine = ChainEngine(ld, cldm, max_batch=opt.max_batch,
-                         staged=opt.staged)
+                         staged=opt.staged, f1_steps=opt.f1_steps,
+                         f1_sampler=opt.f1_sampler)
     print(f"[server] ready on {opt.host}:{opt.port} "
           f"(compile {engine.compile_seconds:.1f}s)")
     serve(engine, opt.host, opt.port,

@@ -122,3 +122,20 @@ def test_staged_engine_matches_fused(engine):
     b = staged.generate(["a cat", "a dog"], seed=3)
     np.testing.assert_array_equal(a["images"], b["images"])
     np.testing.assert_array_equal(a["conditions"], b["conditions"])
+
+
+def test_engine_fast_preset_sampler(engine):
+    """f1_sampler='dpm' (the fast serving preset) produces valid output,
+    differs from the ddim engine, and stays staged/fused bit-identical."""
+    kw = dict(tokenizer=engine.tok, max_batch=2, cond_hw=(64, 64),
+              image_hw=(64, 64), f1_steps=2, f2_steps=2,
+              f1_sampler="dpm", warmup=False)
+    fused = ChainEngine(engine.ld, engine.cldm, **kw)
+    staged = ChainEngine(engine.ld, engine.cldm, staged=True, **kw)
+    a = fused.generate(["a cat"], seed=3)
+    assert a["images"].shape == (1, 64, 64, 3)
+    b = staged.generate(["a cat"], seed=3)
+    np.testing.assert_array_equal(a["images"], b["images"])
+    # the sampler change must actually change the trajectory
+    c = engine.generate(["a cat"], seed=3)
+    assert not np.array_equal(a["conditions"], c["conditions"])
