@@ -51,6 +51,23 @@ F2_STEPS = int(os.environ.get("FGDM_BENCH_F2_STEPS", "20"))
 # FGDM_BENCH_F1_SAMPLER=dpm FGDM_BENCH_F1_STEPS=20
 F1_SAMPLER = os.environ.get("FGDM_BENCH_F1_SAMPLER", "ddim")
 F2_SAMPLER = os.environ.get("FGDM_BENCH_F2_SAMPLER", "ddim")
+# Extra XLA flags forwarded to the (remote) TPU compiler, e.g.
+# FGDM_COMPILER_OPTIONS="xla_tpu_scoped_vmem_limit_kib=98304".  The axon
+# compile service parses these (garbage names are rejected with HTTP 500),
+# so scheduler/VMEM experiments are real A/Bs, not no-ops.  Comma-separated
+# key=value pairs; bare keys become boolean "true".
+COMPILER_OPTIONS = os.environ.get("FGDM_COMPILER_OPTIONS", "")
+
+
+def parse_compiler_options(spec):
+    opts = {}
+    for kv in spec.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        key, eq, val = kv.partition("=")
+        opts[key.strip()] = val.strip() if eq else "true"
+    return opts
 
 
 def zeros_like_tree(tree):
@@ -146,6 +163,14 @@ def main():
 
     # compile + warmup
     t0 = time.perf_counter()
+    if COMPILER_OPTIONS:
+        # AOT path: lower once, compile with explicit XLA options (the
+        # implicit jit path offers no per-call hook for compiler_options).
+        # The compiled object accepts same-shaped concrete args below.
+        opts = parse_compiler_options(COMPILER_OPTIONS)
+        sys.stderr.write(f"[bench] compiler_options: {opts}\n")
+        run = run.lower(ld, cldm, jax.random.PRNGKey(salt)).compile(
+            compiler_options=opts)
     out = run(ld, cldm, jax.random.PRNGKey(salt))
     out.block_until_ready()
     sys.stderr.write(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s\n")
