@@ -26,6 +26,16 @@ from fgdm_tpu.nn.layers import Conv2d, GroupNorm32, nearest_upsample_2x
 Dtype = Any
 
 
+def _make_sh(seq_axis):
+    """Per-junction H-shard pin for context parallelism (no-op otherwise);
+    see parallel/ring_attention.constrain_seq."""
+    if seq_axis is None:
+        return lambda t: t
+    from fgdm_tpu.parallel.ring_attention import constrain_seq
+
+    return lambda t: constrain_seq(t, seq_axis)
+
+
 def swish(x):
     return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
 
@@ -147,33 +157,34 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        sh = _make_sh(self.seq_axis)
         num_resolutions = len(self.ch_mult)
         curr_res = self.resolution
         in_ch_mult = (1,) + tuple(self.ch_mult)
-        h = Conv2d(self.ch, kernel_size=3, dtype=self.dtype, name="conv_in")(x)
+        h = sh(Conv2d(self.ch, kernel_size=3, dtype=self.dtype, name="conv_in")(x))
         for i_level in range(num_resolutions):
             block_in = self.ch * in_ch_mult[i_level]
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = VaeResnetBlock(
+                h = sh(VaeResnetBlock(
                     in_channels=block_in, out_channels=block_out,
                     fused_norm=self.fused_norm,
                     dtype=self.dtype, name=f"down_{i_level}_block_{i_block}",
-                )(h)
+                )(h))
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
-                                     name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = sh(VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
+                                        name=f"down_{i_level}_attn_{i_block}")(h))
             if i_level != num_resolutions - 1:
-                h = VaeDownsample(dtype=self.dtype,
-                                  name=f"down_{i_level}_downsample")(h)
+                h = sh(VaeDownsample(dtype=self.dtype,
+                                     name=f"down_{i_level}_downsample")(h))
                 curr_res //= 2
-        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
-                           dtype=self.dtype, name="mid_block_1")(h)
-        h = VaeAttnBlock(block_in, dtype=self.dtype,
-                         seq_axis=self.seq_axis, name="mid_attn_1")(h)
-        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
-                           dtype=self.dtype, name="mid_block_2")(h)
+        h = sh(VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_block_1")(h))
+        h = sh(VaeAttnBlock(block_in, dtype=self.dtype,
+                            seq_axis=self.seq_axis, name="mid_attn_1")(h))
+        h = sh(VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_block_2")(h))
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = swish(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
@@ -195,31 +206,32 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        sh = _make_sh(self.seq_axis)
         num_resolutions = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
-        h = Conv2d(block_in, kernel_size=3, dtype=self.dtype, name="conv_in")(z)
-        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
-                           dtype=self.dtype, name="mid_block_1")(h)
-        h = VaeAttnBlock(block_in, dtype=self.dtype,
-                         seq_axis=self.seq_axis, name="mid_attn_1")(h)
-        h = VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
-                           dtype=self.dtype, name="mid_block_2")(h)
+        h = sh(Conv2d(block_in, kernel_size=3, dtype=self.dtype, name="conv_in")(z))
+        h = sh(VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_block_1")(h))
+        h = sh(VaeAttnBlock(block_in, dtype=self.dtype,
+                            seq_axis=self.seq_axis, name="mid_attn_1")(h))
+        h = sh(VaeResnetBlock(in_channels=block_in, fused_norm=self.fused_norm,
+                              dtype=self.dtype, name="mid_block_2")(h))
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = VaeResnetBlock(
+                h = sh(VaeResnetBlock(
                     in_channels=block_in, out_channels=block_out,
                     fused_norm=self.fused_norm,
                     dtype=self.dtype, name=f"up_{i_level}_block_{i_block}",
-                )(h)
+                )(h))
                 block_in = block_out
                 if curr_res in self.attn_resolutions:
-                    h = VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
-                                     name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = sh(VaeAttnBlock(block_in, dtype=self.dtype, seq_axis=self.seq_axis,
+                                        name=f"up_{i_level}_attn_{i_block}")(h))
             if i_level != 0:
-                h = VaeUpsample(dtype=self.dtype,
-                                name=f"up_{i_level}_upsample")(h)
+                h = sh(VaeUpsample(dtype=self.dtype,
+                                   name=f"up_{i_level}_upsample")(h))
                 curr_res *= 2
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = swish(h)

@@ -42,6 +42,10 @@ class ControlNet(nn.Module):
     conv_resample: bool = True
     fused_norm_silu: bool = False
     dtype: Dtype = jnp.bfloat16
+    # context parallelism (parallel/context.py): mesh axis the spatial dim
+    # is sharded over — threaded into the transformers (ring attention) and
+    # pinned at block junctions like the UNet
+    seq_axis: Optional[str] = None
 
     def _heads_for(self, ch: int) -> Tuple[int, int]:
         if self.num_head_channels == -1:
@@ -104,44 +108,55 @@ class ControlNet(nn.Module):
             return Conv2d(h.shape[-1], kernel_size=1, padding=0, zero_init=True,
                           dtype=self.dtype, name=name)(h)
 
+        if self.seq_axis is not None:
+            from fgdm_tpu.parallel.ring_attention import constrain_seq
+
+            def sh(t):
+                return constrain_seq(t, self.seq_axis)
+        else:
+            def sh(t):
+                return t
+
         outs = []
         h = x.astype(self.dtype)
         h = Conv2d(mc, kernel_size=3, dtype=self.dtype, name="input_blocks_0_0")(h)
-        h = h + guided_hint
-        outs.append(zero_conv("zero_convs_0", h))
+        h = sh(h + guided_hint)
+        outs.append(sh(zero_conv("zero_convs_0", h)))
 
         ch = mc
         ds = 1
         block_idx = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = res(f"input_blocks_{block_idx}_0", ch, mult * mc)(h, emb)
+                h = sh(res(f"input_blocks_{block_idx}_0", ch, mult * mc)(h, emb))
                 ch = mult * mc
                 if ds in self.attention_resolutions:
                     n_heads, d_head = self._heads_for(ch)
                     h, _ = SpatialTransformer(
                         in_channels=ch, n_heads=n_heads, d_head=d_head,
                         depth=self.transformer_depth, context_dim=self.context_dim,
-                        dtype=self.dtype, name=f"input_blocks_{block_idx}_1",
+                        dtype=self.dtype, seq_axis=self.seq_axis,
+                        name=f"input_blocks_{block_idx}_1",
                     )(h, context=context)
-                outs.append(zero_conv(f"zero_convs_{block_idx}", h))
+                    h = sh(h)
+                outs.append(sh(zero_conv(f"zero_convs_{block_idx}", h)))
                 block_idx += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, self.conv_resample, dtype=self.dtype,
-                               name=f"input_blocks_{block_idx}_0")(h)
-                outs.append(zero_conv(f"zero_convs_{block_idx}", h))
+                h = sh(Downsample(ch, self.conv_resample, dtype=self.dtype,
+                                  name=f"input_blocks_{block_idx}_0")(h))
+                outs.append(sh(zero_conv(f"zero_convs_{block_idx}", h)))
                 ds *= 2
                 block_idx += 1
 
-        h = res("middle_block_0", ch, ch)(h, emb)
+        h = sh(res("middle_block_0", ch, ch)(h, emb))
         n_heads, d_head = self._heads_for(ch)
         h, _ = SpatialTransformer(
             in_channels=ch, n_heads=n_heads, d_head=d_head,
             depth=self.transformer_depth, context_dim=self.context_dim,
-            dtype=self.dtype, name="middle_block_1",
+            dtype=self.dtype, seq_axis=self.seq_axis, name="middle_block_1",
         )(h, context=context)
-        h = res("middle_block_2", ch, ch)(h, emb)
-        outs.append(zero_conv("middle_block_out", h))
+        h = sh(res("middle_block_2", ch, ch)(h, emb))
+        outs.append(sh(zero_conv("middle_block_out", h)))
 
         return tuple(outs)
 

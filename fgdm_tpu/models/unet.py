@@ -93,6 +93,18 @@ class UNetModel(nn.Module):
         mc = self.model_channels
         time_embed_dim = mc * 4
 
+        if self.seq_axis is not None:
+            # context parallelism: pin the H-shard layout at every block
+            # junction so GSPMD never flips layouts mid-network (see
+            # parallel/ring_attention.constrain_seq)
+            from fgdm_tpu.parallel.ring_attention import constrain_seq
+
+            def sh(t):
+                return constrain_seq(t, self.seq_axis)
+        else:
+            def sh(t):
+                return t
+
         t_emb = timestep_embedding(timesteps, mc)
         emb = Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(t_emb)
         emb = Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(silu(emb))
@@ -199,7 +211,7 @@ class UNetModel(nn.Module):
         # --- input blocks --------------------------------------------------
         hs = []
         ch = mc
-        h = Conv2d(mc, kernel_size=3, dtype=self.dtype, name="input_blocks_0_0")(h)
+        h = sh(Conv2d(mc, kernel_size=3, dtype=self.dtype, name="input_blocks_0_0")(h))
         hs.append(h)
         input_block_chans = [mc]
         ds = 1
@@ -207,17 +219,17 @@ class UNetModel(nn.Module):
         adapter_idx = 0
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
-                h = res(f"input_blocks_{block_idx}_0", ch, mult * mc)(h, emb)
+                h = sh(res(f"input_blocks_{block_idx}_0", ch, mult * mc)(h, emb))
                 ch = mult * mc
                 if ds in self.attention_resolutions:
-                    h = attn(f"input_blocks_{block_idx}_1", ch,
-                             f"input_blocks.{block_idx}.1")(h)
+                    h = sh(attn(f"input_blocks_{block_idx}_1", ch,
+                                f"input_blocks.{block_idx}.1")(h))
                 if fa is not None and i == self.num_res_blocks - 1:
                     # Adapter feature added after the last ResBlock of each
                     # level, before downsampling.  On the SD-1.4 layout this
                     # is exactly the reference's "(idx+1)%3==0" rule — blocks
                     # 2/5/8/11 (openaimodel.py:855-857).
-                    h = h + fa[adapter_idx].astype(h.dtype)
+                    h = sh(h + sh(fa[adapter_idx]).astype(h.dtype))
                     adapter_idx += 1
                 hs.append(h)
                 input_block_chans.append(ch)
@@ -228,6 +240,7 @@ class UNetModel(nn.Module):
                 else:
                     h = Downsample(ch, self.conv_resample, dtype=self.dtype,
                                    name=f"input_blocks_{block_idx}_0")(h)
+                h = sh(h)
                 hs.append(h)
                 input_block_chans.append(ch)
                 ds *= 2
@@ -236,16 +249,16 @@ class UNetModel(nn.Module):
             assert adapter_idx == len(fa), "adapter feature count mismatch"
 
         # --- middle block --------------------------------------------------
-        h = res("middle_block_0", ch, ch)(h, emb)
-        h = attn("middle_block_1", ch, "middle_block.1")(h)
-        h = res("middle_block_2", ch, ch)(h, emb)
+        h = sh(res("middle_block_0", ch, ch)(h, emb))
+        h = sh(attn("middle_block_1", ch, "middle_block.1")(h))
+        h = sh(res("middle_block_2", ch, ch)(h, emb))
 
         # ControlNet residual injection (reference ControlledUnetModel,
         # controlnet/cldm/cldm.py:27-50): last residual into the middle
         # output, the rest added to each encoder skip, consumed in reverse.
         ctrl = list(control) if control is not None else None
         if ctrl is not None:
-            h = h + ctrl.pop().astype(h.dtype)
+            h = sh(h + sh(ctrl.pop()).astype(h.dtype))
 
         # --- output blocks -------------------------------------------------
         block_idx = 0
@@ -254,14 +267,14 @@ class UNetModel(nn.Module):
                 ich = input_block_chans.pop()
                 skip = hs.pop()
                 if ctrl is not None and not only_mid_control:
-                    skip = skip + ctrl.pop().astype(h.dtype)
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = res(f"output_blocks_{block_idx}_0", ch + ich, mult * mc)(h, emb)
+                    skip = sh(skip + sh(ctrl.pop()).astype(h.dtype))
+                h = sh(jnp.concatenate([h, skip], axis=-1))
+                h = sh(res(f"output_blocks_{block_idx}_0", ch + ich, mult * mc)(h, emb))
                 ch = mult * mc
                 layer_idx = 1
                 if ds in self.attention_resolutions:
-                    h = attn(f"output_blocks_{block_idx}_{layer_idx}", ch,
-                             f"output_blocks.{block_idx}.{layer_idx}")(h)
+                    h = sh(attn(f"output_blocks_{block_idx}_{layer_idx}", ch,
+                                f"output_blocks.{block_idx}.{layer_idx}")(h))
                     layer_idx += 1
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
@@ -270,6 +283,7 @@ class UNetModel(nn.Module):
                     else:
                         h = Upsample(ch, self.conv_resample, dtype=self.dtype,
                                      name=f"output_blocks_{block_idx}_{layer_idx}")(h)
+                    h = sh(h)
                     ds //= 2
                 block_idx += 1
 

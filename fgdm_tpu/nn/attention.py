@@ -240,10 +240,22 @@ class SpatialTransformer(nn.Module):
     ):
         b, hh, ww, c = x.shape
         inner = self.n_heads * self.d_head
+        if self.seq_axis is not None:
+            # context parallelism: the NHWC H-shard flattens to a contiguous
+            # token shard ([B,H,W,C] row-major → [B,N,C]); pin it at the
+            # reshape/residual junctions so GSPMD keeps one layout instead
+            # of thrashing at the proj_in/proj_out adds
+            from fgdm_tpu.parallel.ring_attention import constrain_seq
+
+            def sh(t):
+                return constrain_seq(t, self.seq_axis)
+        else:
+            def sh(t):
+                return t
         x_in = x
         x = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
         x = Conv2d(inner, kernel_size=1, padding=0, dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, hh * ww, inner)
+        x = sh(x.reshape(b, hh * ww, inner))
         probs = None
         for d in range(self.depth):
             x, probs = BasicTransformerBlock(
@@ -252,12 +264,13 @@ class SpatialTransformer(nn.Module):
                 name=f"transformer_blocks_{d}",
             )(x, context=context, adapt_q=adapt_q, capture=capture,
               attn_editor=attn_editor)
-        x = x.reshape(b, hh, ww, inner)
+            x = sh(x)
+        x = sh(x.reshape(b, hh, ww, inner))
         x = Conv2d(
             self.in_channels, kernel_size=1, padding=0, zero_init=True,
             dtype=self.dtype, name="proj_out",
         )(x)
-        return x + x_in, probs
+        return sh(x + x_in), probs
 
 
 class PixelAttentionBlock(nn.Module):

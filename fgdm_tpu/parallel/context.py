@@ -70,7 +70,10 @@ def context_parallel_pipeline(ld, mesh: Mesh, axis: str = AXIS):
     vae = ld.vae_def.clone(**vae_updates)
     new = ld.replace(unet_def=unet, vae_def=vae)
     if getattr(ld, "control_def", None) is not None:
-        new = new.replace(control_def=ld.control_def.clone(**updates))
+        ctrl_updates = {"seq_axis": axis}
+        if getattr(ld.control_def, "fused_norm_silu", False):
+            ctrl_updates["fused_norm_silu"] = False
+        new = new.replace(control_def=ld.control_def.clone(**ctrl_updates))
     return new
 
 
@@ -103,8 +106,14 @@ def sample_context_parallel(
     b = cond_ctx.shape[0]
     lat_hw = (image_hw[0] // 8, image_hw[1] // 8)
     n_dev = mesh.devices.size
-    assert lat_hw[0] % n_dev == 0, (
-        f"latent H {lat_hw[0]} must divide over the {n_dev}-device seq axis")
+    # H must shard cleanly at EVERY UNet level, down to the deepest
+    # downsampling — otherwise GSPMD is forced into a different layout at
+    # the deep levels and pays a full rematerialization at each flip
+    max_ds = 2 ** (len(ld.unet_def.channel_mult) - 1)
+    assert lat_hw[0] % (n_dev * max_ds) == 0, (
+        f"latent H {lat_hw[0]} must divide over the {n_dev}-device seq axis "
+        f"at every UNet level (deepest downsample {max_ds}× ⇒ H must be a "
+        f"multiple of {n_dev * max_ds})")
     shape = (b, lat_hw[0], lat_hw[1], ld.unet_def.in_channels)
     sched = DDIMSchedule.create(ld.schedule, num_steps)
 

@@ -116,3 +116,23 @@ def context_ring_attention(q, k, v, scale: float, axis: str) -> jnp.ndarray:
     ever materializing an unsharded score matrix or an all-gathered K/V."""
     return ring_attention(q, k, v, get_context_mesh(), axis=axis,
                           scale=scale)
+
+
+def constrain_seq(x: jnp.ndarray, axis: Optional[str],
+                  dim: int = 1) -> jnp.ndarray:
+    """Pin array dim ``dim`` (H for NHWC feature maps, N for token tensors)
+    to the context-mesh axis with ``with_sharding_constraint``.
+
+    Without these pins the GSPMD partitioner is free to re-layout at every
+    residual/adapter/proj_out add — on the UNet it oscillated between
+    H-sharded and H×W-sharded layouts, logging "Involuntary full
+    rematerialization" and paying a replicate+repartition per flip.  One
+    explicit H-shard at each block junction makes a single layout flow
+    through the whole network.  No-op when ``axis`` is None or no context
+    mesh is registered (the same model code traces on single devices)."""
+    if axis is None or _CONTEXT_MESH is None:
+        return x
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.NamedSharding(_CONTEXT_MESH, P(*spec)))
