@@ -66,7 +66,10 @@ def parse_compiler_options(spec):
         if not kv:
             continue
         key, eq, val = kv.partition("=")
-        opts[key.strip()] = val.strip() if eq else "true"
+        # a trailing '=' ("key=") means the same as a bare key: boolean
+        # true — an empty-string value would be rejected by the remote
+        # compile service with an opaque HTTP 500
+        opts[key.strip()] = val.strip() if eq and val.strip() else "true"
     return opts
 
 

@@ -318,11 +318,17 @@ def main(argv=None):
     opt = p.parse_args(argv)
 
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
+    from fgdm_tpu.models.clip import CLIPTokenizer
     from fgdm_tpu.serving import ChainEngine
 
     ld = load_fgdm(opt.ckpt)
     cldm = load_controlnet(opt.cn_ckpt)
-    engine = ChainEngine(ld, cldm, max_batch=opt.max_batch,
+    tok = CLIPTokenizer()
+    if opt.ckpt is not None or opt.cn_ckpt is not None:
+        # real weights + hash-fallback tokenizer silently degrade output;
+        # fail loud (models/clip.py:160)
+        tok.check_production("server")
+    engine = ChainEngine(ld, cldm, tokenizer=tok, max_batch=opt.max_batch,
                          staged=opt.staged, f1_steps=opt.f1_steps,
                          f1_sampler=opt.f1_sampler)
     print(f"[server] ready on {opt.host}:{opt.port} "
