@@ -32,7 +32,13 @@ Dtype = Any
 
 
 class StdConv(nn.Module):
-    """Weight-standardized conv (ResNetV2 / BiT)."""
+    """Weight-standardized conv with TF-SAME padding (timm StdConv2dSame —
+    the hybrid backbone's conv layer; `vision_transformer_hybrid._resnetv2`
+    uses ``partial(StdConv2dSame, eps=1e-8)``).  TF-SAME pads
+    asymmetrically for stride>1 on even inputs (e.g. 7×7 s2 pads (2,3)),
+    which is what ``jax.lax`` "SAME" implements — symmetric k//2 padding
+    would shift every stride-2 feature map by one pixel vs the released
+    checkpoint's training geometry."""
 
     features: int
     kernel_size: int = 3
@@ -51,10 +57,9 @@ class StdConv(nn.Module):
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
         w = (w - mean) / jnp.sqrt(var + 1e-8)
-        pad = k // 2
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
-            (self.stride, self.stride), [(pad, pad), (pad, pad)],
+            (self.stride, self.stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -64,7 +69,15 @@ class StdConv(nn.Module):
         return y
 
 
-class PreActBottleneck(nn.Module):
+class BitBottleneck(nn.Module):
+    """Post-norm ResNetV2 bottleneck — timm's ``Bottleneck`` (preact=False),
+    which is what ``vit_base_resnet50_384`` actually uses (confirmed by the
+    HF DPT-hybrid port: ``DPTConfig`` hybrid defaults pin the converted
+    backbone to ``layer_type="bottleneck", global_padding="same"``):
+    conv1(1×1)→GN+ReLU → conv2(3×3,stride)→GN+ReLU → conv3(1×1)→GN(no act);
+    shortcut = 1×1 StdConv(stride)+GN(no act) on the RAW input when shape
+    changes; ReLU after the residual add."""
+
     mid: int
     out: int
     stride: int = 1
@@ -72,26 +85,28 @@ class PreActBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(name="gn1")(x)
-        h = jax.nn.relu(h)
         shortcut = x
         if x.shape[-1] != self.out or self.stride != 1:
             shortcut = StdConv(self.out, 1, stride=self.stride,
-                               dtype=self.dtype, name="downsample")(h)
-        h = StdConv(self.mid, 1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(name="gn2")(h)
-        h = jax.nn.relu(h)
+                               dtype=self.dtype, name="downsample")(x)
+            shortcut = GroupNorm32(name="downsample_norm")(shortcut)
+        h = StdConv(self.mid, 1, dtype=self.dtype, name="conv1")(x)
+        h = jax.nn.relu(GroupNorm32(name="gn1")(h))
         h = StdConv(self.mid, 3, stride=self.stride, dtype=self.dtype,
                     name="conv2")(h)
-        h = GroupNorm32(name="gn3")(h)
-        h = jax.nn.relu(h)
+        h = jax.nn.relu(GroupNorm32(name="gn2")(h))
         h = StdConv(self.out, 1, dtype=self.dtype, name="conv3")(h)
-        return h + shortcut
+        h = GroupNorm32(name="gn3")(h)
+        return jax.nn.relu(h + shortcut)
 
 
 class ResNetV2Stem(nn.Module):
-    """BiT-R50 three-stage stem (3/4/9 bottlenecks) → taps at 1/4, 1/8,
-    final 1/16 feature for patch embedding."""
+    """BiT-R50 three-stage backbone (3/4/9 post-norm bottlenecks, TF-SAME
+    padding) → taps at 1/4, 1/8, final 1/16 feature for patch embedding.
+    Matches timm ``ResNetV2(layers=(3,4,9), preact=False, stem_type='same',
+    conv_layer=StdConv2dSame)`` — the 'same' stem is conv7×7 s2 + GN+ReLU +
+    MaxPool2dSame(3, s2); no final norm (post-norm blocks carry their
+    own)."""
 
     width: int = 64
     dtype: Dtype = jnp.float32
@@ -104,20 +119,19 @@ class ResNetV2Stem(nn.Module):
         )  # 1/2
         h = GroupNorm32(name="gn_stem")(h)
         h = jax.nn.relu(h)
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        h = nn.max_pool(h, (3, 3), strides=(2, 2))  # 1/4
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")  # 1/4
 
         for i in range(3):
-            h = PreActBottleneck(w, w * 4, dtype=self.dtype,
-                                 name=f"stage1_{i}")(h)
+            h = BitBottleneck(w, w * 4, dtype=self.dtype,
+                              name=f"stage1_{i}")(h)
         f4 = h  # 256 @ 1/4
         for i in range(4):
-            h = PreActBottleneck(w * 2, w * 8, stride=2 if i == 0 else 1,
-                                 dtype=self.dtype, name=f"stage2_{i}")(h)
+            h = BitBottleneck(w * 2, w * 8, stride=2 if i == 0 else 1,
+                              dtype=self.dtype, name=f"stage2_{i}")(h)
         f8 = h  # 512 @ 1/8
         for i in range(9):
-            h = PreActBottleneck(w * 4, w * 16, stride=2 if i == 0 else 1,
-                                 dtype=self.dtype, name=f"stage3_{i}")(h)
+            h = BitBottleneck(w * 4, w * 16, stride=2 if i == 0 else 1,
+                              dtype=self.dtype, name=f"stage3_{i}")(h)
         return f4, f8, h  # 1024 @ 1/16
 
 

@@ -380,6 +380,10 @@ def ingest_midas(sd: TensorDict, expect=None):
             elif sub == "downsample" and parts[9] == "conv" \
                     and leaf == "weight":
                 flat[base + ("downsample", "kernel")] = _conv_kernel(v)
+            elif sub == "downsample" and parts[9] == "norm":
+                # post-norm bottleneck shortcut norm (timm Bottleneck /
+                # DownsampleConv, apply_act=False)
+                flat[base + ("downsample_norm", ln[leaf])] = v
             else:
                 unexpected.append(k)
         elif k.startswith("pretrained.model.patch_embed.proj."):

