@@ -327,8 +327,11 @@ def _resize_pos_embed(pe: np.ndarray, n_tokens: int) -> np.ndarray:
     import jax.numpy as jnp
 
     grid = grid.reshape(1, g_old, g_old, -1)
+    # antialias=False: the reference resizes with F.interpolate(bilinear),
+    # which never antialiases — jax.image.resize would on downscale
     grid = np.asarray(jax.image.resize(
-        jnp.asarray(grid), (1, g_new, g_new, grid.shape[-1]), "bilinear"))
+        jnp.asarray(grid), (1, g_new, g_new, grid.shape[-1]), "bilinear",
+        antialias=False))
     return np.concatenate([cls_pe, grid.reshape(1, g_new * g_new, -1)],
                           axis=1)
 

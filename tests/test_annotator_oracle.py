@@ -270,6 +270,218 @@ def test_midas_neck_forward_oracle():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
 
 
+def _vendored_vit_hybrid(torch):
+    """Minimal torch replica of timm's ``vit_base_resnet50_384`` — the one
+    import the reference MiDaS stack needs that this environment lacks.
+    Semantics per timm (pinned offline by the HF DPT-hybrid port, whose
+    converted-backbone defaults are ``layer_type='bottleneck'``,
+    ``global_padding='same'``): ResNetV2 stem 'same' (StdConv2dSame 7×7 s2,
+    GroupNorm32+ReLU, MaxPool2dSame 3 s2), 3 post-norm bottleneck stages
+    (3/4/9, mid=out/4), HybridEmbed 1×1 proj to 768, 12 pre-LN ViT blocks,
+    eps 1e-6 LN / 1e-5 GN / 1e-8 weight-standardization.  State-dict keys
+    match timm naming, so the released dpt_hybrid checkpoint layout is
+    exactly what ``state_dict()`` yields here."""
+    import math
+    from collections import OrderedDict
+
+    import torch.nn.functional as F
+    nn = torch.nn
+
+    def same_pad(x, k, s, value=0.0):
+        ih, iw = x.shape[-2:]
+        ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        return F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2],
+                     value=value)
+
+    class StdConv2dSame(nn.Conv2d):
+        def __init__(self, cin, cout, k, stride=1):
+            super().__init__(cin, cout, k, stride=stride, bias=False)
+
+        def forward(self, x):
+            x = same_pad(x, self.kernel_size[0], self.stride[0])
+            w = F.batch_norm(
+                self.weight.reshape(1, self.out_channels, -1), None, None,
+                training=True, momentum=0.0, eps=1e-8,
+            ).reshape_as(self.weight)
+            return F.conv2d(x, w, None, self.stride, 0)
+
+    class MaxPool2dSame(nn.Module):
+        def forward(self, x):
+            return F.max_pool2d(same_pad(x, 3, 2, value=-torch.inf), 3, 2)
+
+    class GNAct(nn.GroupNorm):
+        def __init__(self, ch, apply_act=True):
+            super().__init__(32, ch, eps=1e-5)
+            self.apply_act = apply_act
+
+        def forward(self, x):
+            x = super().forward(x)
+            return F.relu(x) if self.apply_act else x
+
+    class DownsampleConv(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv = StdConv2dSame(cin, cout, 1, stride=stride)
+            self.norm = GNAct(cout, apply_act=False)
+
+        def forward(self, x):
+            return self.norm(self.conv(x))
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, cout, mid, stride=1):
+            super().__init__()
+            self.downsample = (DownsampleConv(cin, cout, stride)
+                               if cin != cout or stride != 1 else None)
+            self.conv1 = StdConv2dSame(cin, mid, 1)
+            self.norm1 = GNAct(mid)
+            self.conv2 = StdConv2dSame(mid, mid, 3, stride=stride)
+            self.norm2 = GNAct(mid)
+            self.conv3 = StdConv2dSame(mid, cout, 1)
+            self.norm3 = GNAct(cout, apply_act=False)
+
+        def forward(self, x):
+            sc = x if self.downsample is None else self.downsample(x)
+            h = self.norm1(self.conv1(x))
+            h = self.norm2(self.conv2(h))
+            h = self.norm3(self.conv3(h))
+            return F.relu(h + sc)
+
+    class Stage(nn.Module):
+        def __init__(self, cin, cout, mid, depth, stride):
+            super().__init__()
+            self.blocks = nn.Sequential(*[
+                Bottleneck(cin if i == 0 else cout, cout, mid,
+                           stride if i == 0 else 1) for i in range(depth)])
+
+        def forward(self, x):
+            return self.blocks(x)
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(OrderedDict([
+                ("conv", StdConv2dSame(3, 64, 7, stride=2)),
+                ("norm", GNAct(64)),
+                ("pool", MaxPool2dSame()),
+            ]))
+            self.stages = nn.Sequential(
+                Stage(64, 256, 64, 3, 1),
+                Stage(256, 512, 128, 4, 2),
+                Stage(512, 1024, 256, 9, 2),
+            )
+
+        def forward(self, x):
+            return self.stages(self.stem(x))
+
+    class Attention(nn.Module):
+        def __init__(self, dim=768, heads=12):
+            super().__init__()
+            self.heads = heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, d = x.shape
+            dh = d // self.heads
+            qkv = self.qkv(x).reshape(b, n, 3, self.heads, dh)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)
+            att = (q @ k.transpose(-2, -1) * dh ** -0.5).softmax(dim=-1)
+            return self.proj((att @ v).transpose(1, 2).reshape(b, n, d))
+
+    class Mlp(nn.Module):
+        def __init__(self, dim=768):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, dim * 4)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(dim * 4, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(768, eps=1e-6)
+            self.attn = Attention()
+            self.norm2 = nn.LayerNorm(768, eps=1e-6)
+            self.mlp = Mlp()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class HybridEmbed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.proj = nn.Conv2d(1024, 768, kernel_size=1, stride=1)
+
+    class ViTHybrid(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = HybridEmbed()
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, 768))
+            self.pos_embed = nn.Parameter(torch.randn(1, 577, 768) * 0.02)
+            self.pos_drop = nn.Dropout(0.0)
+            self.blocks = nn.Sequential(*[Block() for _ in range(12)])
+            self.norm = nn.LayerNorm(768, eps=1e-6)
+
+    return ViTHybrid
+
+
+def test_midas_full_forward_oracle():
+    """FULL DPT-hybrid forward parity: the reference's own DPTDepthModel
+    (`controlnet/annotator/midas/midas/dpt_depth.py:88-108` with
+    `vit.py:343-474` hook/reassemble wiring) driven by a vendored
+    timm-semantics backbone (`_vendored_vit_hybrid`), against our complete
+    flax DPTHybrid — stem, 16 bottlenecks, patch embed, 12 ViT blocks w/
+    runtime pos-embed grid resize, project readout, reassemble, RefineNet
+    fusion, and head, all through the real ingest mapper.  Extends the
+    neck/stem oracle to the whole network (VERDICT r3 #2)."""
+    torch = _torch()
+    _stub_uniformer_deps(torch)
+    import types
+
+    if "timm" not in sys.modules:
+        sys.modules["timm"] = types.ModuleType("timm")
+    ViTHybrid = _vendored_vit_hybrid(torch)
+    sys.modules["timm"].create_model = \
+        lambda name, pretrained=False, **k: ViTHybrid()
+    ref_root = os.path.dirname(REF_CN)
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    from annotator.midas.midas.dpt_depth import DPTDepthModel
+
+    from fgdm_tpu.annotators.midas import DPTHybrid
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_midas
+
+    tm = DPTDepthModel(path=None, backbone="vitb_rn50_384",
+                       non_negative=True)
+    # GN/LN renormalize per layer, so modest scales stay healthy through
+    # the 16-bottleneck + 12-transformer stack
+    _randomize(torch, tm, seed=17, scale=0.05)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    fm = DPTHybrid()
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+    params, missing, unexpected = ingest_midas(sd, expect=expect)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((1, 64, 64, 3)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x)))
+    assert got.shape == want.shape
+    assert np.std(want) > 1e-3  # non-degenerate oracle
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
 def _stub_uniformer_deps(torch):
     """Minimal stubs for the vendored mmseg import chain (addict, yapf,
     torchvision, prettytable, timm.models.layers — all eval-exact)."""
