@@ -183,16 +183,220 @@ def draw_bodypose(canvas: np.ndarray, all_peaks, connections) -> np.ndarray:
     return canvas
 
 
-class OpenposeDetector:
-    """uint8 HWC image → skeleton render (reference contract,
-    openpose/__init__.py:21)."""
+class HandPoseNet(nn.Module):
+    """CPM hand-keypoint network (`openpose/model.py:143-216`,
+    ``handpose_model``): VGG stem conv1_1..conv5_3_CPM (pools after
+    conv1_2/conv2_2/conv3_4), a 22-channel stage-1 head
+    (conv6_1_CPM→conv6_2_CPM), then 5 refinement stages consuming
+    ``concat(prev_out, features)`` through Mconv1..Mconv7.  Only
+    conv6_2_CPM and the Mconv7s skip ReLU (`:148-149` — unlike the body
+    net, the final stage-6 head is correctly listed)."""
 
-    def __init__(self, params, model: BodyPoseNet | None = None):
-        self.model = model or BodyPoseNet()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [B,H,W,3] (normalized) → heat [B,H/8,W/8,22]."""
+        stem_plan = [
+            ("conv1_1", 64, 3), ("conv1_2", 64, 3),
+            ("conv2_1", 128, 3), ("conv2_2", 128, 3),
+            ("conv3_1", 256, 3), ("conv3_2", 256, 3), ("conv3_3", 256, 3),
+            ("conv3_4", 256, 3),
+            ("conv4_1", 512, 3), ("conv4_2", 512, 3), ("conv4_3", 512, 3),
+            ("conv4_4", 512, 3),
+            ("conv5_1", 512, 3), ("conv5_2", 512, 3),
+            ("conv5_3_CPM", 128, 3),
+        ]
+        h = x
+        for name, ch, k in stem_plan:
+            h = Conv2d(ch, kernel_size=k, padding=k // 2, dtype=self.dtype,
+                       name=name)(h)
+            h = jax.nn.relu(h)
+            if name in ("conv1_2", "conv2_2", "conv3_4"):
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        feat = h
+
+        out = Conv2d(512, kernel_size=1, padding=0, dtype=self.dtype,
+                     name="conv6_1_CPM")(feat)
+        out = Conv2d(22, kernel_size=1, padding=0, dtype=self.dtype,
+                     name="conv6_2_CPM")(jax.nn.relu(out))
+        for s in range(2, 7):
+            plan = [(f"Mconv{j}_stage{s}", 128, 7) for j in range(1, 6)]
+            plan += [(f"Mconv6_stage{s}", 128, 1), (f"Mconv7_stage{s}", 22, 1)]
+            out = ConvStage(plan, dtype=self.dtype, name=f"stage{s}")(
+                jnp.concatenate([out, feat], axis=-1))
+        return out
+
+
+def assemble_persons(all_peaks, connections) -> List[Dict[int, Tuple]]:
+    """Group peaks into persons by union-find over the kept limb
+    connections — the compact analog of the reference's subset matrix
+    (`body.py` person assembly), producing {part_channel: (x, y, score,
+    id)} per person so hand_detect can read shoulder/elbow/wrist."""
+    parent: Dict[int, int] = {}
+
+    def find(i):
+        while parent.setdefault(i, i) != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        parent[find(i)] = find(j)
+
+    peak_of = {}
+    part_of = {}
+    for c, peaks in enumerate(all_peaks):
+        for p in peaks:
+            peak_of[p[3]] = p
+            part_of[p[3]] = c
+    for (a, b), kept in zip(LIMB_SEQ, connections):
+        for ia, ib, _ in kept:
+            union(all_peaks[a - 1][ia][3], all_peaks[b - 1][ib][3])
+    groups: Dict[int, Dict[int, Tuple]] = {}
+    for pid in peak_of:
+        groups.setdefault(find(pid), {})[part_of[pid]] = peak_of[pid]
+    return list(groups.values())
+
+
+def hand_detect(persons, image_height: int, image_width: int,
+                ratio_wrist_elbow: float = 0.33) -> List[Tuple]:
+    """Port of `openpose/util.py:94-160` ``handDetect``: square crop boxes
+    from shoulder/elbow/wrist geometry (part channels — right 2/3/4, left
+    5/6/7; box extends the forearm past the wrist by the 0.33 OpenPose
+    ratio, width 1.5·max(wrist-elbow, 0.9·elbow-shoulder), clamped to the
+    image, dropped under 20 px).  Returns [(x, y, w, is_left)]."""
+    import math
+
+    out = []
+    for person in persons:
+        hands = []
+        if all(k in person for k in (5, 6, 7)):
+            hands.append((person[5], person[6], person[7], True))
+        if all(k in person for k in (2, 3, 4)):
+            hands.append((person[2], person[3], person[4], False))
+        for shoulder, elbow, wrist, is_left in hands:
+            x1, y1 = float(shoulder[0]), float(shoulder[1])
+            x2, y2 = float(elbow[0]), float(elbow[1])
+            x3, y3 = float(wrist[0]), float(wrist[1])
+            x = x3 + ratio_wrist_elbow * (x3 - x2)
+            y = y3 + ratio_wrist_elbow * (y3 - y2)
+            d_we = math.sqrt((x3 - x2) ** 2 + (y3 - y2) ** 2)
+            d_es = math.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+            width = 1.5 * max(d_we, 0.9 * d_es)
+            x -= width / 2
+            y -= width / 2
+            x, y = max(x, 0.0), max(y, 0.0)
+            width1 = width2 = width
+            if x + width > image_width:
+                width1 = image_width - x
+            if y + width > image_height:
+                width2 = image_height - y
+            width = min(width1, width2)
+            if width >= 20:
+                out.append((int(x), int(y), int(width), is_left))
+    return out
+
+
+HAND_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+    (0, 9), (9, 10), (10, 11), (11, 12), (0, 13), (13, 14), (14, 15),
+    (15, 16), (0, 17), (17, 18), (18, 19), (19, 20),
+]
+
+
+def draw_handpose(canvas: np.ndarray, all_hand_peaks) -> np.ndarray:
+    """`util.py:74-90`: HSV-rainbow finger edges + red joint dots; an edge
+    is drawn only when both endpoints were detected (nonzero)."""
+    import cv2
+    from matplotlib.colors import hsv_to_rgb
+
+    for peaks in all_hand_peaks:
+        for ie, e in enumerate(HAND_EDGES):
+            if np.all(peaks[list(e)] != 0):
+                x1, y1 = peaks[e[0]]
+                x2, y2 = peaks[e[1]]
+                color = hsv_to_rgb(
+                    [ie / float(len(HAND_EDGES)), 1.0, 1.0]) * 255
+                cv2.line(canvas, (int(x1), int(y1)), (int(x2), int(y2)),
+                         color.tolist(), thickness=2)
+        for x, y in peaks:
+            cv2.circle(canvas, (int(x), int(y)), 4, (0, 0, 255),
+                       thickness=-1)
+    return canvas
+
+
+class HandEstimator:
+    """Host-side hand keypoint estimator (`openpose/hand.py:25-76`):
+    4-scale test-time augmentation around boxsize 368, TF-style pad to the
+    8-px stride (value 128), averaged cubic-upsampled heatmaps, then per-
+    part peak extraction — gaussian blur σ3, 0.05 threshold, 8-connected
+    component with max mass, argmax → (x, y); undetected parts are
+    (0, 0)."""
+
+    def __init__(self, params, model: HandPoseNet | None = None):
+        self.model = model or HandPoseNet()
         self.params = params
         self._jit = jax.jit(lambda p, x: self.model.apply(p, x))
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def __call__(self, ori_img: np.ndarray, thre: float = 0.05,
+                 boxsize: int = 368) -> np.ndarray:
+        import cv2
+        from scipy.ndimage import gaussian_filter
+        from scipy.ndimage import label as cc_label
+
+        h, w = ori_img.shape[:2]
+        stride, pad_value = 8, 128
+        heat_avg = np.zeros((h, w, 22), np.float32)
+        scales = [s * boxsize / h for s in (0.5, 1.0, 1.5, 2.0)]
+        for scale in scales:
+            img = cv2.resize(ori_img, (0, 0), fx=scale, fy=scale,
+                             interpolation=cv2.INTER_CUBIC)
+            pad_d = (stride - img.shape[0] % stride) % stride
+            pad_r = (stride - img.shape[1] % stride) % stride
+            img_p = np.pad(img, ((0, pad_d), (0, pad_r), (0, 0)),
+                           constant_values=pad_value)
+            x = img_p.astype(np.float32) / 256.0 - 0.5
+            heat = np.asarray(self._jit(self.params, x[None]))[0]
+            heat = cv2.resize(heat, (0, 0), fx=stride, fy=stride,
+                              interpolation=cv2.INTER_CUBIC)
+            heat = heat[:img_p.shape[0] - pad_d, :img_p.shape[1] - pad_r]
+            heat = cv2.resize(heat, (w, h), interpolation=cv2.INTER_CUBIC)
+            heat_avg += heat / len(scales)
+
+        peaks = []
+        eight = np.ones((3, 3), np.int32)  # 8-connectivity (skimage parity)
+        for part in range(21):
+            m = heat_avg[..., part].copy()
+            blurred = gaussian_filter(m, sigma=3)
+            binary = blurred > thre
+            if not binary.any():
+                peaks.append([0, 0])
+                continue
+            lab, n = cc_label(binary, structure=eight)
+            sums = [m[lab == i].sum() for i in range(1, n + 1)]
+            m[lab != (int(np.argmax(sums)) + 1)] = 0
+            yy, xx = np.unravel_index(np.argmax(m), m.shape)
+            peaks.append([int(xx), int(yy)])
+        return np.array(peaks)
+
+
+class OpenposeDetector:
+    """uint8 HWC image → skeleton render (reference contract,
+    openpose/__init__.py:21-48).  ``hand=True`` (reference default off)
+    additionally runs ``handDetect`` crops through the hand CPM and draws
+    the 21-keypoint hand skeletons."""
+
+    def __init__(self, params, model: BodyPoseNet | None = None,
+                 hand_params=None, hand_model: HandPoseNet | None = None):
+        self.model = model or BodyPoseNet()
+        self.params = params
+        self._jit = jax.jit(lambda p, x: self.model.apply(p, x))
+        self.hand_estimation = (
+            HandEstimator(hand_params, hand_model)
+            if hand_params is not None else None)
+
+    def __call__(self, img: np.ndarray, hand: bool = False) -> np.ndarray:
         h, w = img.shape[:2]
         x = img.astype(np.float32) / 256.0 - 0.5  # reference normalization
         paf, heat = self._jit(self.params, x[None])
@@ -203,14 +407,33 @@ class OpenposeDetector:
         peaks = find_peaks(heat)
         conns = score_limbs(paf, peaks)
         canvas = np.zeros((h, w, 3), np.uint8)
-        return draw_bodypose(canvas, peaks, conns)
+        canvas = draw_bodypose(canvas, peaks, conns)
+        if hand:
+            if self.hand_estimation is None:
+                raise ValueError(
+                    "hand=True needs hand weights — load via "
+                    "load_openpose(..., hand_ckpt_path=...)")
+            all_hand_peaks = []
+            for hx, hy, hw_, is_left in hand_detect(
+                    assemble_persons(peaks, conns), h, w):
+                hp = self.hand_estimation(img[hy:hy + hw_, hx:hx + hw_])
+                # offset detected (nonzero) peaks into image coords
+                hp[:, 0] = np.where(hp[:, 0] == 0, 0, hp[:, 0] + hx)
+                hp[:, 1] = np.where(hp[:, 1] == 0, 0, hp[:, 1] + hy)
+                all_hand_peaks.append(hp)
+            canvas = draw_handpose(canvas, all_hand_peaks)
+        return canvas
 
 
-def load_openpose(ckpt_path: str, dtype=jnp.float32) -> OpenposeDetector:
-    """Strict loader: body_pose torch checkpoint → OpenposeDetector.
-    Raises on any missing/unexpected key (schema
-    `/root/reference/controlnet/annotator/openpose/model.py:24-142`)."""
-    from fgdm_tpu.checkpoint.annotator_ingest import ingest_openpose
+def load_openpose(ckpt_path: str, hand_ckpt_path: str | None = None,
+                  dtype=jnp.float32) -> OpenposeDetector:
+    """Strict loader: body_pose (+ optional hand_pose) torch checkpoints →
+    OpenposeDetector.  Raises on any missing/unexpected key (schemas
+    `/root/reference/controlnet/annotator/openpose/model.py:24-216`)."""
+    from fgdm_tpu.checkpoint.annotator_ingest import (
+        ingest_handpose,
+        ingest_openpose,
+    )
     from fgdm_tpu.checkpoint.torch_ingest import load_torch_state_dict
 
     model = BodyPoseNet(dtype=dtype)
@@ -223,4 +446,18 @@ def load_openpose(ckpt_path: str, dtype=jnp.float32) -> OpenposeDetector:
             f"OpenPose ingest from {ckpt_path}: {len(missing)} missing "
             f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
             f"(e.g. {unexpected[:3]})")
-    return OpenposeDetector(jax.tree.map(jnp.asarray, params), model)
+    hand_params = hand_model = None
+    if hand_ckpt_path is not None:
+        hand_model = HandPoseNet(dtype=dtype)
+        hexp = jax.eval_shape(lambda: hand_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+        hand_params, missing, unexpected = ingest_handpose(
+            load_torch_state_dict(hand_ckpt_path), expect=hexp)
+        if missing or unexpected:
+            raise ValueError(
+                f"OpenPose hand ingest from {hand_ckpt_path}: "
+                f"{len(missing)} missing (e.g. {missing[:3]}), "
+                f"{len(unexpected)} unexpected (e.g. {unexpected[:3]})")
+        hand_params = jax.tree.map(jnp.asarray, hand_params)
+    return OpenposeDetector(jax.tree.map(jnp.asarray, params), model,
+                            hand_params=hand_params, hand_model=hand_model)

@@ -451,24 +451,64 @@ def ingest_midas(sd: TensorDict, expect=None):
 
 
 def ingest_openpose(sd: TensorDict, expect=None):
-    """body_pose_model state dict → BodyPoseNet flax params.
+    """body_pose_model checkpoint → BodyPoseNet flax params.
 
-    Key schema from `/root/reference/controlnet/annotator/openpose/model.py`:
-    ``model0.<conv_name>`` VGG stem; ``model{s}_{L}.<conv_name>`` the
-    stage-s branch of limb L → our ``stage{s}_L{L}/<conv_name>``."""
+    The RELEASED ``body_pose_model.pth`` stores BARE conv names
+    (``conv1_1.weight``, ``Mconv1_stage2_L1.weight``) — the reference
+    re-prefixes them onto module paths at load time
+    (`openpose/util.py:30-34` ``transfer``).  A ``state_dict()`` export of
+    the torch module instead carries ``model{s}_{L}.`` prefixes
+    (`openpose/model.py:24-142`).  Both forms are accepted: any leading
+    ``model*`` component is stripped, then the bare name alone determines
+    the location (stage/limb are encoded in the conv names)."""
     flat: Dict[Tuple[str, ...], np.ndarray] = {}
     unexpected: List[str] = []
     for k, v in sd.items():
         v = np.asarray(v)
-        m = re.match(r"model(\d)(?:_(\d))?\.([^.]+)\.(weight|bias)", k)
-        if not m:
+        parts = k.split(".")
+        if re.fullmatch(r"model\d(?:_\d)?", parts[0]):
+            parts = parts[1:]
+        if len(parts) != 2 or parts[1] not in ("weight", "bias"):
             unexpected.append(k)
             continue
-        stage, limb, conv, leaf = m.groups()
-        if stage == "0":
-            path = (conv,)
+        conv, leaf = parts
+        m = re.fullmatch(r"Mconv\d+_stage(\d)_L(\d)", conv)
+        m1 = re.fullmatch(r"conv5_\d_CPM_L(\d)", conv)
+        if m:
+            path = (f"stage{m.group(1)}_L{m.group(2)}", conv)
+        elif m1:
+            path = (f"stage1_L{m1.group(1)}", conv)
         else:
-            path = (f"stage{stage}_L{limb}", conv)
+            path = (conv,)
+        if leaf == "weight":
+            flat[path + ("kernel",)] = _conv_kernel(v)
+        else:
+            flat[path + ("bias",)] = v
+    tree, missing = _assemble(flat, expect)
+    return tree, missing, unexpected
+
+
+def ingest_handpose(sd: TensorDict, expect=None):
+    """hand_pose_model checkpoint → HandPoseNet flax params.
+
+    Same dual-form contract as :func:`ingest_openpose` (the released file
+    is bare-named, a ``state_dict()`` export is ``model1_0/model1_1/
+    model{2..6}``-prefixed; schema `openpose/model.py:143-216`): the stem
+    and conv6_* heads sit at the top level, ``Mconv{j}_stage{s}`` under
+    ``stage{s}``."""
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    unexpected: List[str] = []
+    for k, v in sd.items():
+        v = np.asarray(v)
+        parts = k.split(".")
+        if re.fullmatch(r"model\d(?:_\d)?", parts[0]):
+            parts = parts[1:]
+        if len(parts) != 2 or parts[1] not in ("weight", "bias"):
+            unexpected.append(k)
+            continue
+        conv, leaf = parts
+        m = re.fullmatch(r"Mconv\d+_stage(\d)", conv)
+        path = (f"stage{m.group(1)}", conv) if m else (conv,)
         if leaf == "weight":
             flat[path + ("kernel",)] = _conv_kernel(v)
         else:

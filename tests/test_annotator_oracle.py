@@ -802,6 +802,134 @@ def test_pidinet_full_forward_oracle():
         got_bin[conf3], want_bin.transpose(0, 2, 3, 1)[conf3])
 
 
+def test_handpose_ingest_and_forward_parity():
+    """OpenPose hand CPM oracle (`openpose/model.py:143-216`): forward
+    parity via the state_dict key form AND the released checkpoint's
+    bare-key form (`util.py:30-34` ``transfer`` strips the module prefix —
+    the shipped ``hand_pose_model.pth`` has keys like ``conv1_1.weight``)."""
+    torch = _torch()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "op_model_h", os.path.join(REF_CN, "annotator/openpose/model.py"))
+    op = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(op)
+
+    from fgdm_tpu.annotators.openpose import HandPoseNet
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_handpose
+
+    tm = _randomize(torch, op.handpose_model(), scale=0.02)
+    prefixed = {k: v.numpy() for k, v in tm.state_dict().items()}
+    # the released-file form: exactly what util.transfer re-prefixes
+    bare = {k.split(".", 1)[1]: v for k, v in prefixed.items()}
+
+    fm = HandPoseNet()
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((1, 64, 64, 3)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    for form, sd in (("prefixed", prefixed), ("bare", bare)):
+        params, missing, unexpected = ingest_handpose(sd, expect=expect)
+        assert missing == [], (form, missing[:8])
+        assert unexpected == [], (form, unexpected[:8])
+        got = fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=2e-3, err_msg=form)
+
+
+def test_bodypose_released_bare_key_form():
+    """The released ``body_pose_model.pth`` also stores bare conv names
+    (same ``transfer`` path) — assert ingest_openpose accepts that form,
+    not just state_dict exports."""
+    torch = _torch()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "op_model_b", os.path.join(REF_CN, "annotator/openpose/model.py"))
+    op = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(op)
+
+    from fgdm_tpu.annotators.openpose import BodyPoseNet
+    from fgdm_tpu.checkpoint.annotator_ingest import ingest_openpose
+
+    tm = _randomize(torch, op.bodypose_model(), scale=0.02)
+    bare = {k.split(".", 1)[1]: v.numpy() for k, v in tm.state_dict().items()}
+
+    fm = BodyPoseNet()
+    expect = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    expect = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), expect)
+    params, missing, unexpected = ingest_openpose(bare, expect=expect)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, 64, 64, 3)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        want_paf, want_heat = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    paf, heat = fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(paf),
+                               want_paf.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(heat),
+                               want_heat.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_hand_detect_matches_reference():
+    """Port parity for the hand crop-box geometry: our
+    :func:`hand_detect` vs the reference's ``util.handDetect``
+    (`openpose/util.py:94-160`) over randomized poses, exercising both
+    hands, partial detections, image-edge clamping, and the 20-px floor."""
+    _torch()  # skips when the reference isn't mounted
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "op_util", os.path.join(REF_CN, "annotator/openpose/util.py"))
+    op_util = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(op_util)
+
+    from fgdm_tpu.annotators.openpose import hand_detect
+
+    rng = np.random.default_rng(9)
+    H, W = 240, 320
+    for trial in range(25):
+        n_person = int(rng.integers(1, 4))
+        candidate = []
+        subset = np.full((n_person, 20), -1.0)
+        persons = []
+        for p in range(n_person):
+            person: dict = {}
+            for side, chans in (("l", (5, 6, 7)), ("r", (2, 3, 4))):
+                if rng.random() < 0.75:  # this arm fully detected
+                    for c in chans:
+                        x = float(rng.uniform(0, W))
+                        y = float(rng.uniform(0, H))
+                        subset[p, c] = len(candidate)
+                        person[c] = (x, y, 1.0, len(candidate))
+                        candidate.append([x, y, 1.0, len(candidate)])
+                elif rng.random() < 0.5:  # partial arm — must be ignored
+                    c = chans[int(rng.integers(0, 3))]
+                    x = float(rng.uniform(0, W))
+                    y = float(rng.uniform(0, H))
+                    subset[p, c] = len(candidate)
+                    person[c] = (x, y, 1.0, len(candidate))
+                    candidate.append([x, y, 1.0, len(candidate)])
+            persons.append(person)
+        want = op_util.handDetect(
+            np.asarray(candidate, np.float64), subset,
+            np.zeros((H, W, 3), np.uint8))
+        got = hand_detect(persons, H, W)
+        assert [list(g)[:3] + [g[3]] for g in got] == \
+               [list(map(int, w[:3])) + [w[3]] for w in want], trial
+
+
 def test_mlsd_ingest_and_forward_parity():
     torch = _torch()
     from annotator.mlsd.models.mbv2_mlsd_large import MobileV2_MLSD_Large
