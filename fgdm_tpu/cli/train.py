@@ -104,6 +104,11 @@ def main(argv=None):
     import numpy as np
     import yaml
 
+    from fgdm_tpu.utils.cache import enable_persistent_cache
+
+    # reuse train-step compiles across restarts (FGDM_CACHE_DIR=off disables)
+    enable_persistent_cache()
+
     from fgdm_tpu.checkpoint.orbax_io import CheckpointManager
     from fgdm_tpu.config import (apply_dot_overrides, instantiate_from_config,
                                  load_config, merge_configs)
@@ -173,6 +178,14 @@ def main(argv=None):
         if spec.ckpt_path:
             print(f"[train] ckpt {spec.ckpt_path} missing — random init")
         ld = spec.create(rng)
+        if os.environ.get("FGDM_RANDOMIZE_ZERO_HEADS") == "1":
+            # scratch smoke runs: a zero-init output head blocks every
+            # adapter gradient under freeze_backbone (see
+            # train/state.py:randomize_zero_heads)
+            from fgdm_tpu.train.state import randomize_zero_heads
+
+            ld = ld.replace(unet_params=randomize_zero_heads(ld.unet_params))
+            print("[train] zero-init heads randomized (smoke mode)")
 
     # -- on-the-fly condition synthesis (ddpm.py:137-150) -------------------
     cond_kind = spec.condition_kind()

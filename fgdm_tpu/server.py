@@ -320,6 +320,11 @@ def main(argv=None):
     from fgdm_tpu.checkpoint.loader import load_controlnet, load_fgdm
     from fgdm_tpu.models.clip import CLIPTokenizer
     from fgdm_tpu.serving import ChainEngine
+    from fgdm_tpu.utils.cache import enable_persistent_cache
+
+    # cold-start bound: reuse compiles across restarts; seed offline with
+    # tools/warm_cache.py (FGDM_CACHE_DIR=off disables)
+    enable_persistent_cache()
 
     ld = load_fgdm(opt.ckpt)
     cldm = load_controlnet(opt.cn_ckpt)

@@ -49,6 +49,30 @@ def adapter_filter(optim_key: str = "adapter") -> Callable[[str], bool]:
     return f
 
 
+def randomize_zero_heads(params: Any, scale: float = 0.02) -> Any:
+    """Replace zero-initialized kernels (zero convs / output heads) with
+    small deterministic noise.
+
+    Scratch-init smoke runs of the adapter-only / control recipes need this:
+    with a frozen backbone, a zero-init output conv blocks every upstream
+    gradient (d loss/d h = W_outᵀ g = 0), so the trainable branch would see
+    exactly zero gradients.  In production these weights come from a
+    released SD checkpoint (the reference assumes one, `cldm.py:924-931`).
+    Keys derive from crc32 of the tree path — str ``hash()`` is salted per
+    process, and checkpoint roundtrips compare across processes."""
+    import zlib
+
+    def f(path, p):
+        # zero-test on device (scalar bool readback) — np.asarray would pull
+        # the full multi-GB tree through the tunnel
+        if p.ndim >= 2 and bool(jnp.all(p == 0)):
+            k = jax.random.PRNGKey(zlib.crc32(str(path).encode()) % 2**31)
+            return jax.random.normal(k, p.shape, p.dtype) * scale
+        return p
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def joint_image_adapter_filter() -> Callable[[str], bool]:
     """AdaptDiffusion freeze rule (`ddpm.py:1866-1870`): joint training
     optimizes only the image factor's adapter (+ the condition→adapter

@@ -124,3 +124,29 @@ def test_eval_resize_path(coco_tree):
     a = ds[0]["image"]
     b = ds[0]["image"]
     np.testing.assert_array_equal(a, b)  # deterministic without aug
+
+
+def test_make_real_data_builds_loadable_coco_tree(tmp_path):
+    """tools/make_real_data.py emits a COCO-layout tree of REAL photos that
+    load_data('coco') consumes: aligned image/label pairs, captions wired
+    by image id, labels confined to COCO-stuff id range."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "realcoco"
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "make_real_data.py"),
+         "--out", str(out), "--crops", "2", "--size", "64"],
+        check=True, cwd=root, timeout=300)
+    ds = load_data("coco", str(out), 32, use_ade_colormap=True,
+                   random_crop=False, random_flip=False)
+    assert len(ds) >= 4  # ≥2 photos × 2 crops
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["caption"]  # real caption text attached
+    assert 0 <= int(item["label"].min()) and int(item["label"].max()) <= 182
+    # val split exists and loads too
+    val = load_data("coco", str(out), 32, is_train=False, random_crop=False,
+                    random_flip=False, use_ade_colormap=True)
+    assert len(val) >= 2

@@ -241,3 +241,25 @@ def test_teacher_maps_reduced_capture_equivalence(tiny_ld):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(t_cross), np.asarray(ref_cross),
                                atol=2e-4)
+
+
+def test_randomize_zero_heads(tiny_ld):
+    """Scratch-smoke helper: zero-init kernels (≥2-D) get small deterministic
+    noise, everything else is untouched, and the result is reproducible
+    across calls (crc32-path keys, not salted str hash)."""
+    from fgdm_tpu.train.state import randomize_zero_heads
+
+    a = randomize_zero_heads(tiny_ld.unet_params)
+    b = randomize_zero_heads(tiny_ld.unet_params)
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    l0 = jax.tree.leaves(tiny_ld.unet_params)
+    changed = 0
+    for x, y, orig in zip(la, lb, l0):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        if orig.ndim >= 2 and np.all(np.asarray(orig) == 0):
+            changed += 1
+            assert np.asarray(x).std() > 0, "zero head left at zero"
+            assert float(jnp.abs(x).max()) < 0.2
+        else:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(orig))
+    assert changed >= 1  # the UNet output head at minimum

@@ -42,29 +42,7 @@ COCO = os.environ.get("FGDM_COCO_DIR", "/tmp/fgdm_coco")
 STEPS = int(os.environ.get("FGDM_HW_STEPS", "12"))
 
 
-def _randomize_zero_heads(params):
-    """Replace zero-initialized kernels (zero convs / output heads) with small
-    noise.  Both recipes fine-tune a partition against a *frozen* backbone;
-    with a scratch init the zero-init output conv blocks every upstream
-    gradient (d loss/d h = W_out^T @ g = 0), so the trainable branch would see
-    exactly zero gradients — in production these weights come from a released
-    SD checkpoint (reference loads sd-v1-4/sd-v1-5; cldm.py:924-931 assumes
-    it).  Same recipe as tests/test_train_joint.py:37-45."""
-    import jax.tree_util as jtu
-
-    import zlib
-
-    def f(path, p):
-        # zero-test on device (scalar bool readback) — np.asarray here would
-        # pull the full multi-GB tree through the tunnel.  crc32, not
-        # hash(): str hashing is salted per process, and the checkpoint
-        # roundtrip compares against whatever a previous process saved.
-        if p.ndim >= 2 and bool(jnp.all(p == 0)):
-            k = jax.random.PRNGKey(zlib.crc32(str(path).encode()) % 2**31)
-            return jax.random.normal(k, p.shape, p.dtype) * 0.02
-        return p
-
-    return jtu.tree_map_with_path(f, params)
+from fgdm_tpu.train.state import randomize_zero_heads as _randomize_zero_heads  # noqa: E402
 
 
 def _loader(image_size, batch, use_rgb):
