@@ -284,7 +284,11 @@ def main(argv=None):
                if val_ds is not None else None)
 
     # -- image diagnostics (reference ImageLogger callback, main.py:313-417)
-    from fgdm_tpu.train.metrics import ImageLogger, log_images
+    from fgdm_tpu.train.metrics import ImageLogger, MetricsWriter, log_images
+
+    # per-step loss curve (reference's TestTube CSVLogger, main.py:566-590)
+    metrics_writer = (MetricsWriter(logdir)
+                      if jax.process_index() == 0 else None)
 
     img_logger = None
     for cb in ((config.get("lightning") or {}).get("callbacks") or {}
@@ -352,6 +356,20 @@ def main(argv=None):
         mesh=mesh, size=2)
     step = start_step
     t0 = time.time()
+    # device metric trees buffered here and read back on the print cadence:
+    # a per-step float() would block the host on every step's completion and
+    # kill the prefetch/dispatch overlap
+    pending_metrics = []
+
+    def drain_metrics():
+        last = None
+        for s, dev_m in pending_metrics:
+            last = {k: float(v) for k, v in dev_m.items()}
+            if metrics_writer is not None:
+                metrics_writer.log(s, last, prefix="train")
+        pending_metrics.clear()
+        return last
+
     try:
         for dev_batch in it:
             if opt.max_steps > 0 and step >= opt.max_steps:
@@ -364,9 +382,10 @@ def main(argv=None):
             state_ref["state"], state_ref["step"] = state, step
             maybe_log_images(step, state, dev_batch,
                              jax.random.PRNGKey(step))
+            pending_metrics.append((step, metrics))
             if step % 50 == 0:
                 dt = time.time() - t0
-                m = {k: float(v) for k, v in metrics.items()}
+                m = drain_metrics()
                 done = step - start_step + 1
                 print(f"step {step} loss {m['loss']:.4f} "
                       f"simple {m['loss_simple']:.4f} "
@@ -379,7 +398,10 @@ def main(argv=None):
                 vm = eval_fn(state, shard_batch(mesh, local_batch_slice({
                     "image": vb["image"], "input_ids": vb["input_ids"]})),
                     jax.random.PRNGKey(0))
-                print("  val:", {k: round(float(v), 4) for k, v in vm.items()})
+                vm = {k: float(v) for k, v in vm.items()}
+                print("  val:", {k: round(v, 4) for k, v in vm.items()})
+                if metrics_writer is not None:
+                    metrics_writer.log(step, vm, prefix="val")
             mgr.save(step, state_to_pytree(state))
             step += 1
     except KeyboardInterrupt:
@@ -393,6 +415,9 @@ def main(argv=None):
         # worker threads and device-resident batches alive; close releases
         # them before the post-fit test pass.
         it.close()
+        drain_metrics()
+        if metrics_writer is not None:
+            metrics_writer.close()
     melk()
     print(f"[train] done at step {step}")
 

@@ -115,6 +115,11 @@ def test_train_cli_two_steps(workspace, monkeypatch):
     assert (run / "checkpoints").exists()
     ckpts = list((run / "checkpoints").iterdir())
     assert ckpts, "no checkpoint saved"
+    # per-step loss curve written (buffered drain: print cadence + finally)
+    rows = [json.loads(line)
+            for line in (run / "metrics.jsonl").read_text().splitlines()]
+    assert [r["step"] for r in rows] == [0, 1]
+    assert all(np.isfinite(r["train/loss"]) for r in rows)
 
 
 def test_train_cli_resume_restores_full_state(workspace, monkeypatch, capsys):
