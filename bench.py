@@ -42,8 +42,11 @@ A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
 # flat at batch 8); current chain throughput 1.48 img/s/chip — flash
 # attention +33%, fused GroupNorm+SiLU +10%, flash block tuning +5%.
 BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "4"))
-# "bf16" stores parameters in bfloat16 (halves weight HBM traffic for
-# inference); default f32 matches training-grade numerics.
+# "bf16" stores ALL parameters in bfloat16 (measured dead end: VPU cast
+# cost outweighs the HBM saving on the UNet); "bf16_vae" casts only the
+# shared VAE tree — the decode stage is bandwidth-bound, so halving its
+# weight traffic is the one place bf16 params could still win.  Default
+# f32 matches training-grade numerics.
 PARAM_DTYPE = os.environ.get("FGDM_BENCH_PARAM_DTYPE", "f32")
 F1_STEPS = int(os.environ.get("FGDM_BENCH_F1_STEPS", "50"))
 F2_STEPS = int(os.environ.get("FGDM_BENCH_F2_STEPS", "20"))
@@ -138,6 +141,14 @@ def build_pipeline():
         control_def=cn,
         control_params=absinit(cn, x2, hint, t, ctx),
     )
+    if PARAM_DTYPE == "bf16_vae":
+        vp = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            ld.vae_params,
+        )
+        ld = ld.replace(vae_params=vp)
+        cldm = cldm.replace(vae_params=vp)
     return ld, cldm
 
 

@@ -15,6 +15,8 @@ import copy
 import importlib
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
+import re
+
 import yaml
 
 __all__ = [
@@ -27,9 +29,35 @@ __all__ = [
 ]
 
 
+class _Loader(yaml.SafeLoader):
+    """SafeLoader whose float resolver also accepts dot-less scientific
+    notation (``5e-5``, ``1E8``) — PyYAML's stock YAML-1.1 regex demands a
+    dot before the exponent, silently yielding *strings* for the most
+    common learning-rate spellings.  OmegaConf (the reference's config
+    layer) coerces these; so do we."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(text_or_stream) -> Any:
+    return yaml.load(text_or_stream, Loader=_Loader)
+
+
 def load_config(path: str) -> Dict[str, Any]:
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        return _yaml_load(f) or {}
 
 
 def merge_configs(*configs: Dict[str, Any]) -> Dict[str, Any]:
@@ -56,7 +84,7 @@ def apply_dot_overrides(cfg: Dict[str, Any], dotlist: Sequence[str]) -> Dict[str
         if "=" not in item:
             raise ValueError(f"override must be key=value, got {item!r}")
         key, _, raw = item.partition("=")
-        value = yaml.safe_load(raw)
+        value = _yaml_load(raw)
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:

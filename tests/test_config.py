@@ -29,6 +29,32 @@ def test_merge_and_overrides():
     assert m["model"]["params"]["lr"] == 2  # original untouched
 
 
+def test_dotless_scientific_floats_coerce():
+    # PyYAML's stock resolver yields *strings* for "5e-5" (no dot before
+    # the exponent) — the most common learning-rate spelling.  OmegaConf
+    # coerces these in the reference (main.py:539-541); so must we, in
+    # both dot-overrides and config files.
+    o = apply_dot_overrides({}, [
+        "model.base_learning_rate=5e-5",
+        "a.int=3", "a.float=1.5", "a.exp=2E8", "a.str=1e5th", "a.name=x",
+    ])
+    assert o["model"]["base_learning_rate"] == 5e-5
+    assert isinstance(o["model"]["base_learning_rate"], float)
+    assert o["a"] == {"int": 3, "float": 1.5, "exp": 2e8,
+                      "str": "1e5th", "name": "x"}
+
+    import tempfile
+
+    from fgdm_tpu.config import load_config
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml") as f:
+        f.write("model:\n  base_learning_rate: 1e-6\n  tag: v1e5\n")
+        f.flush()
+        cfg = load_config(f.name)
+    assert cfg["model"]["base_learning_rate"] == 1e-6
+    assert cfg["model"]["tag"] == "v1e5"
+
+
 def test_reference_inference_config_parses():
     """The reference's shipped models/config.yaml must instantiate into our
     ModelSpec with the SD-1.4 geometry."""
