@@ -304,7 +304,7 @@ def main(argv=None):
             return
         # plotting uses the EMA weights when available (reference ema_scope)
         params = (state.ema_full_params() if state.ema is not None
-                  else state.full_params())
+                  else state.full_params)
         imgs = log_images(
             ld.replace(unet_params=params), batch, rng,
             ddim_steps=20, inpaint=True, plot_denoise_rows=True,

@@ -173,15 +173,20 @@ def test_train_cli_validate_only(workspace, monkeypatch):
     train_cli.main(["-b", str(cfg_path), "-l", str(root / "logs2")])
 
 
-def test_train_cli_image_logger(workspace, monkeypatch):
+@pytest.mark.parametrize("use_ema", ["true", "false"])
+def test_train_cli_image_logger(workspace, monkeypatch, use_ema):
     """--img_log_freq wires the reference ImageLogger callback: diagnostic
-    grids land under <run>/images at the requested cadence."""
+    grids land under <run>/images at the requested cadence.  Parametrized
+    over use_ema: plotting reads ema_full_params() with EMA on and the
+    full_params property without (a call-vs-property mixup here once only
+    crashed in the non-EMA branch)."""
     root, cfg_path = workspace
     _tiny_clip(monkeypatch)
     from fgdm_tpu.cli import train as train_cli
 
-    logdir = root / "logs_imglog"
+    logdir = root / f"logs_imglog_{use_ema}"
     train_cli.main([
+        f"model.params.use_ema={use_ema}",
         "-b", str(cfg_path), "-t", "--max_steps", "2",
         "-l", str(logdir), "-n", "imglog", "--seed", "7",
         "--img_log_freq", "2",
