@@ -166,18 +166,24 @@ def score_limbs(paf: np.ndarray, all_peaks, thre2: float = 0.05,
     return connections
 
 
-def draw_bodypose(canvas: np.ndarray, all_peaks, connections) -> np.ndarray:
+def draw_bodypose(canvas: np.ndarray, persons) -> np.ndarray:
+    """Render the assembled (and person-filtered) skeletons — the analog of
+    `openpose/util.py:draw_bodypose`, which draws from the filtered subset
+    matrix (17 limbs + 18 joint channels), so spurious peak chains the
+    person filter discards never reach the control map."""
     import cv2
 
-    for limb_i, ((a, b), kept) in enumerate(zip(LIMB_SEQ, connections)):
+    for limb_i, (a, b) in enumerate(LIMB_SEQ[:17]):
         color = COLORS[limb_i % len(COLORS)]
-        for ia, ib, _ in kept:
-            pa = all_peaks[a - 1][ia]
-            pb = all_peaks[b - 1][ib]
+        for person in persons:
+            pa = person.get(a - 1)
+            pb = person.get(b - 1)
+            if pa is None or pb is None:
+                continue
             cv2.line(canvas, (int(pa[0]), int(pa[1])),
                      (int(pb[0]), int(pb[1])), color, 4)
-    for c, peaks in enumerate(all_peaks):
-        for x, y, s, _ in peaks:
+    for person in persons:
+        for c, (x, y, s, _) in person.items():
             cv2.circle(canvas, (int(x), int(y)), 4,
                        COLORS[c % len(COLORS)], thickness=-1)
     return canvas
@@ -228,11 +234,18 @@ class HandPoseNet(nn.Module):
         return out
 
 
-def assemble_persons(all_peaks, connections) -> List[Dict[int, Tuple]]:
+def assemble_persons(all_peaks, connections, min_parts: int = 4,
+                     min_score: float = 0.4) -> List[Dict[int, Tuple]]:
     """Group peaks into persons by union-find over the kept limb
     connections — the compact analog of the reference's subset matrix
     (`body.py` person assembly), producing {part_channel: (x, y, score,
-    id)} per person so hand_detect can read shoulder/elbow/wrist."""
+    id)} per person so hand_detect can read shoulder/elbow/wrist.
+
+    Applies the reference's person filter (`body.py:200-205`): a person is
+    dropped when it has fewer than ``min_parts`` parts or its total score
+    (part scores + connection scores, the subset row's ``-2`` column)
+    averaged over parts falls below ``min_score`` — spurious short peak
+    chains never reach the render or the hand detector."""
     parent: Dict[int, int] = {}
 
     def find(i):
@@ -250,13 +263,22 @@ def assemble_persons(all_peaks, connections) -> List[Dict[int, Tuple]]:
         for p in peaks:
             peak_of[p[3]] = p
             part_of[p[3]] = c
+    conn_scores: List[Tuple[int, float]] = []
     for (a, b), kept in zip(LIMB_SEQ, connections):
-        for ia, ib, _ in kept:
-            union(all_peaks[a - 1][ia][3], all_peaks[b - 1][ib][3])
+        for ia, ib, s in kept:
+            pid_a = all_peaks[a - 1][ia][3]
+            union(pid_a, all_peaks[b - 1][ib][3])
+            conn_scores.append((pid_a, float(s)))
     groups: Dict[int, Dict[int, Tuple]] = {}
-    for pid in peak_of:
-        groups.setdefault(find(pid), {})[part_of[pid]] = peak_of[pid]
-    return list(groups.values())
+    score: Dict[int, float] = {}
+    for pid, p in peak_of.items():
+        root = find(pid)
+        groups.setdefault(root, {})[part_of[pid]] = p
+        score[root] = score.get(root, 0.0) + float(p[2])
+    for pid, s in conn_scores:
+        score[find(pid)] += s
+    return [g for root, g in groups.items()
+            if len(g) >= min_parts and score[root] / len(g) >= min_score]
 
 
 def hand_detect(persons, image_height: int, image_width: int,
@@ -406,16 +428,16 @@ class OpenposeDetector:
             jax.image.resize(heat, (1, h, w, 19), "bicubic"))[0]
         peaks = find_peaks(heat)
         conns = score_limbs(paf, peaks)
+        persons = assemble_persons(peaks, conns)
         canvas = np.zeros((h, w, 3), np.uint8)
-        canvas = draw_bodypose(canvas, peaks, conns)
+        canvas = draw_bodypose(canvas, persons)
         if hand:
             if self.hand_estimation is None:
                 raise ValueError(
                     "hand=True needs hand weights — load via "
                     "load_openpose(..., hand_ckpt_path=...)")
             all_hand_peaks = []
-            for hx, hy, hw_, is_left in hand_detect(
-                    assemble_persons(peaks, conns), h, w):
+            for hx, hy, hw_, is_left in hand_detect(persons, h, w):
                 hp = self.hand_estimation(img[hy:hy + hw_, hx:hx + hw_])
                 # offset detected (nonzero) peaks into image coords
                 hp[:, 0] = np.where(hp[:, 0] == 0, 0, hp[:, 0] + hx)

@@ -28,12 +28,11 @@ Dtype = Any
 
 def _make_sh(seq_axis):
     """Per-junction H-shard pin for context parallelism (no-op otherwise);
-    see parallel/ring_attention.constrain_seq."""
-    if seq_axis is None:
-        return lambda t: t
-    from fgdm_tpu.parallel.ring_attention import constrain_seq
+    the shared helper lives in parallel/ring_attention (lazy import keeps
+    module load light)."""
+    from fgdm_tpu.parallel.ring_attention import make_sh
 
-    return lambda t: constrain_seq(t, seq_axis)
+    return make_sh(seq_axis)
 
 
 def swish(x):

@@ -108,14 +108,9 @@ class ControlNet(nn.Module):
             return Conv2d(h.shape[-1], kernel_size=1, padding=0, zero_init=True,
                           dtype=self.dtype, name=name)(h)
 
-        if self.seq_axis is not None:
-            from fgdm_tpu.parallel.ring_attention import constrain_seq
+        from fgdm_tpu.parallel.ring_attention import make_sh
 
-            def sh(t):
-                return constrain_seq(t, self.seq_axis)
-        else:
-            def sh(t):
-                return t
+        sh = make_sh(self.seq_axis)
 
         outs = []
         h = x.astype(self.dtype)

@@ -93,17 +93,13 @@ class UNetModel(nn.Module):
         mc = self.model_channels
         time_embed_dim = mc * 4
 
-        if self.seq_axis is not None:
-            # context parallelism: pin the H-shard layout at every block
-            # junction so GSPMD never flips layouts mid-network (see
-            # parallel/ring_attention.constrain_seq)
-            from fgdm_tpu.parallel.ring_attention import constrain_seq
+        # context parallelism: pin the H-shard layout at every block
+        # junction so GSPMD never flips layouts mid-network (see
+        # parallel/ring_attention.constrain_seq; identity when seq_axis
+        # is None)
+        from fgdm_tpu.parallel.ring_attention import make_sh
 
-            def sh(t):
-                return constrain_seq(t, self.seq_axis)
-        else:
-            def sh(t):
-                return t
+        sh = make_sh(self.seq_axis)
 
         t_emb = timestep_embedding(timesteps, mc)
         emb = Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(t_emb)

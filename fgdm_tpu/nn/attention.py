@@ -240,18 +240,13 @@ class SpatialTransformer(nn.Module):
     ):
         b, hh, ww, c = x.shape
         inner = self.n_heads * self.d_head
-        if self.seq_axis is not None:
-            # context parallelism: the NHWC H-shard flattens to a contiguous
-            # token shard ([B,H,W,C] row-major → [B,N,C]); pin it at the
-            # reshape/residual junctions so GSPMD keeps one layout instead
-            # of thrashing at the proj_in/proj_out adds
-            from fgdm_tpu.parallel.ring_attention import constrain_seq
+        # context parallelism: the NHWC H-shard flattens to a contiguous
+        # token shard ([B,H,W,C] row-major → [B,N,C]); pin it at the
+        # reshape/residual junctions so GSPMD keeps one layout instead
+        # of thrashing at the proj_in/proj_out adds
+        from fgdm_tpu.parallel.ring_attention import make_sh
 
-            def sh(t):
-                return constrain_seq(t, self.seq_axis)
-        else:
-            def sh(t):
-                return t
+        sh = make_sh(self.seq_axis)
         x_in = x
         x = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
         x = Conv2d(inner, kernel_size=1, padding=0, dtype=self.dtype, name="proj_in")(x)

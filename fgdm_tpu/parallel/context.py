@@ -28,6 +28,7 @@ Usage:
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -106,14 +107,29 @@ def sample_context_parallel(
     b = cond_ctx.shape[0]
     lat_hw = (image_hw[0] // 8, image_hw[1] // 8)
     n_dev = mesh.devices.size
-    # H must shard cleanly at EVERY UNet level, down to the deepest
-    # downsampling — otherwise GSPMD is forced into a different layout at
-    # the deep levels and pays a full rematerialization at each flip
+    # Hard requirement: the top-level H shard must be even (the x_T
+    # device_put below) — everything deeper is either a layout-quality
+    # concern (GSPMD pads uneven constraint shards) or a ring-attention
+    # shard_map requirement on the token count, checked per level.
+    assert lat_hw[0] % n_dev == 0, (
+        f"latent H {lat_hw[0]} must divide over the {n_dev}-device seq axis")
     max_ds = 2 ** (len(ld.unet_def.channel_mult) - 1)
-    assert lat_hw[0] % (n_dev * max_ds) == 0, (
-        f"latent H {lat_hw[0]} must divide over the {n_dev}-device seq axis "
-        f"at every UNet level (deepest downsample {max_ds}× ⇒ H must be a "
-        f"multiple of {n_dev * max_ds})")
+    if lat_hw[0] % (n_dev * max_ds) != 0:
+        # ring attention is a shard_map island: its token axis must divide
+        # the mesh at every level that runs self-attention (incl. the
+        # middle block at the deepest downsample)
+        for ds in sorted(set(ld.unet_def.attention_resolutions) | {max_ds}):
+            n_tok = (lat_hw[0] // ds) * (lat_hw[1] // ds)
+            assert n_tok % n_dev == 0, (
+                f"ring attention at UNet level ds={ds} has {n_tok} tokens, "
+                f"not divisible over the {n_dev}-device seq axis — pick H "
+                f"a multiple of {n_dev * max_ds} (or adjust W)")
+        warnings.warn(
+            f"latent H {lat_hw[0]} shards over {n_dev} devices but not at "
+            f"every UNet level (deepest downsample {max_ds}×): sampling is "
+            "exact, but GSPMD will pad/reshard the deep levels (involuntary "
+            f"rematerialization); H a multiple of {n_dev * max_ds} gives "
+            "thrash-free layouts", stacklevel=2)
     shape = (b, lat_hw[0], lat_hw[1], ld.unet_def.in_channels)
     sched = DDIMSchedule.create(ld.schedule, num_steps)
 

@@ -136,3 +136,13 @@ def constrain_seq(x: jnp.ndarray, axis: Optional[str],
     spec[dim] = axis
     return jax.lax.with_sharding_constraint(
         x, jax.sharding.NamedSharding(_CONTEXT_MESH, P(*spec)))
+
+
+def make_sh(seq_axis: Optional[str]):
+    """Per-junction H-shard pin for context parallelism: returns
+    ``constrain_seq(·, seq_axis)`` or the identity when ``seq_axis`` is
+    None — the shared helper every seq-axis-aware module (UNet,
+    ControlNet, VAE, SpatialTransformer) applies at its block junctions."""
+    if seq_axis is None:
+        return lambda t: t
+    return lambda t: constrain_seq(t, seq_axis)

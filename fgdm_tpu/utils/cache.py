@@ -15,6 +15,7 @@ samplers, shardings) the serving process will request.
 from __future__ import annotations
 
 import os
+import warnings
 
 import jax
 
@@ -38,6 +39,12 @@ def enable_persistent_cache(cache_dir: str | None = None,
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_compile_secs)
-    except Exception:
+    except Exception as e:
+        # fail soft (a cold compile still works) but never silently: the
+        # whole point of this module is avoiding the multi-minute wall
+        warnings.warn(
+            f"persistent compile cache could not be enabled at {path}: {e!r}"
+            " — every fresh process will pay the full cold compile",
+            stacklevel=2)
         return ""
     return path

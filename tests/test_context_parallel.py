@@ -79,3 +79,33 @@ def test_cp_indivisible_height_fails(tiny_ld):
     with pytest.raises(AssertionError, match="divide"):
         sample_context_parallel(ld_cp, mesh, jax.random.PRNGKey(0), ctx, ctx,
                                 (136, 136), num_steps=1)
+
+
+def test_cp_uneven_deep_levels_warns_but_matches(tiny_ld):
+    """H divisible by the mesh but not at every UNet level (the 1152²-on-8
+    class of geometries): a layout-quality warning, not an error — and the
+    sample still matches single-device."""
+    import warnings as _w
+
+    mesh = context_mesh(8)
+    ld_cp = context_parallel_pipeline(tiny_ld, mesh)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 64)) * 0.1
+    uc = jnp.zeros((1, 77, 64))
+    rng = jax.random.PRNGKey(5)
+
+    # tiny UNet max_ds=2 ⇒ 192² image → latent H 24: 24 % 8 == 0 but
+    # 24 % 16 != 0; token counts stay divisible (576, 144)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out_cp = np.asarray(sample_context_parallel(
+            ld_cp, mesh, rng, ctx, uc, (192, 192), num_steps=2,
+            cfg_scale=3.0, decode=False))
+    assert any("thrash-free" in str(r.message) for r in rec)
+
+    rng2, init_rng = jax.random.split(rng)
+    x_T = jax.random.normal(init_rng, (1, 24, 24, 4), jnp.float32)
+    sched = DDIMSchedule.create(tiny_ld.schedule, 2)
+    ref, _ = ddim_sample(tiny_ld.denoise_fn(), rng2, (1, 24, 24, 4), sched,
+                         {"c_crossattn": ctx}, {"c_crossattn": uc},
+                         cfg_scale=3.0, x_T=x_T)
+    np.testing.assert_allclose(out_cp, np.asarray(ref), rtol=1e-4, atol=1e-4)

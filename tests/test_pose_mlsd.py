@@ -109,15 +109,53 @@ def test_handpose_net_shapes():
 def test_assemble_persons_groups_by_connection():
     from fgdm_tpu.annotators.openpose import assemble_persons
 
-    # two persons: peaks for neck(ch1)/r-shoulder(ch2), one connected pair
+    # two persons, each a 4-part arm chain neck→shoulder→elbow→wrist
+    # (channels 1-4 via limbs (2,3)/(3,4)/(4,5)) so both pass the
+    # reference's ≥4-parts person filter
     all_peaks = [[] for _ in range(18)]
     all_peaks[1] = [(10, 10, 1.0, 0), (50, 10, 1.0, 1)]
     all_peaks[2] = [(12, 20, 1.0, 2), (52, 20, 1.0, 3)]
+    all_peaks[3] = [(14, 30, 1.0, 4), (54, 30, 1.0, 5)]
+    all_peaks[4] = [(16, 40, 1.0, 6), (56, 40, 1.0, 7)]
     conns = [[] for _ in range(19)]
     conns[0] = [(0, 0, 1.0), (1, 1, 1.0)]  # limb (2,3): neck→r-shoulder
+    conns[2] = [(0, 0, 1.0), (1, 1, 1.0)]  # limb (3,4): shoulder→elbow
+    conns[3] = [(0, 0, 1.0), (1, 1, 1.0)]  # limb (4,5): elbow→wrist
     persons = assemble_persons(all_peaks, conns)
     assert len(persons) == 2
-    assert all(set(p.keys()) == {1, 2} for p in persons)
+    assert all(set(p.keys()) == {1, 2, 3, 4} for p in persons)
+
+
+def test_assemble_persons_reference_filter():
+    """The reference drops subset rows with <4 parts or mean score <0.4
+    (`body.py:200-205`); spurious short/weak chains must not survive."""
+    from fgdm_tpu.annotators.openpose import assemble_persons
+
+    # a 3-part chain (neck→shoulder→elbow): too few parts
+    all_peaks = [[] for _ in range(18)]
+    all_peaks[1] = [(10, 10, 1.0, 0)]
+    all_peaks[2] = [(12, 20, 1.0, 1)]
+    all_peaks[3] = [(14, 30, 1.0, 2)]
+    conns = [[] for _ in range(19)]
+    conns[0] = [(0, 0, 1.0)]
+    conns[2] = [(0, 0, 1.0)]
+    assert assemble_persons(all_peaks, conns) == []
+    # same chain passes with the gate disabled
+    assert len(assemble_persons(all_peaks, conns,
+                                min_parts=0, min_score=0.0)) == 1
+
+    # 4 parts but weak scores: mean (part+connection)/parts < 0.4
+    weak = [[] for _ in range(18)]
+    weak[1] = [(10, 10, 0.1, 0)]
+    weak[2] = [(12, 20, 0.1, 1)]
+    weak[3] = [(14, 30, 0.1, 2)]
+    weak[4] = [(16, 40, 0.1, 3)]
+    wconns = [[] for _ in range(19)]
+    wconns[0] = [(0, 0, 0.1)]
+    wconns[2] = [(0, 0, 0.1)]
+    wconns[3] = [(0, 0, 0.1)]
+    # total = 4·0.1 + 3·0.1 = 0.7 over 4 parts = 0.175 < 0.4 → dropped
+    assert assemble_persons(weak, wconns) == []
 
 
 def test_hand_render_smoke():

@@ -84,7 +84,11 @@ def kmeans_labels(rgb: np.ndarray, k: int, id_map, seed: int) -> np.ndarray:
     return out
 
 
-def crops(rgb: np.ndarray, n: int, size: int, rng) -> list:
+def crops(rgb: np.ndarray, n: int, rng) -> list:
+    """Random square crop boxes, 60-100% of the photo's short side.
+
+    Crop geometry is independent of the output resolution — ``--size``
+    only sets the resize target applied afterwards."""
     h, w = rgb.shape[:2]
     side = min(h, w)
     out = []
@@ -117,7 +121,7 @@ def main(argv=None):
         os.makedirs(ann_dir, exist_ok=True)
         anns, img_id = [], 0
         for name, rgb, captions, labels in srcs:
-            for (y, x, s) in crops(rgb, n_crops, opt.size, rng):
+            for (y, x, s) in crops(rgb, n_crops, rng):
                 im = Image.fromarray(rgb[y:y + s, x:x + s]).resize(
                     (opt.size, opt.size), Image.BICUBIC)
                 lb = Image.fromarray(labels[y:y + s, x:x + s], "L").resize(
