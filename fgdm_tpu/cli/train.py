@@ -240,9 +240,14 @@ def main(argv=None):
     # -- resume: restore the FULL train state (params+opt+EMA+step) --------
     start_step = 0
     if opt.resume and mgr.latest_step() is not None:
-        target = state_to_pytree(state)
-        restored = mgr.restore(target=target)
+        # restore to HOST numpy: a device-target restore materializes a
+        # full second copy of the state (incl. the frozen backbone) in HBM
+        # while the init copy is still live — a guaranteed OOM at SD scale
+        # (observed: first image-log after a real resume).  replicate()
+        # below device-puts the single live copy.
+        restored = mgr.restore_host(template=state_to_pytree(state))
         state = state_from_pytree(state, restored)
+        del restored
         start_step = int(state.step)
         print(f"[train] resumed from {ckptdir} at step {start_step}")
     elif opt.resume:
