@@ -409,11 +409,14 @@ def main(argv=None):
                     metrics_writer.log(step, vm, prefix="val")
             mgr.save(step, state_to_pytree(state))
             step += 1
-    except KeyboardInterrupt:
-        melk()
-        raise
-    except Exception:
-        melk()
+    except (KeyboardInterrupt, Exception):
+        # best-effort rescue save: if the save itself fails (e.g. the
+        # original error was a device OOM and the transfer needs HBM),
+        # don't let it mask the original traceback
+        try:
+            melk()
+        except Exception as save_err:
+            print(f"[train] melk failed during crash handling: {save_err!r}")
         raise
     finally:
         # A max_steps break leaves the prefetch generators suspended with
