@@ -26,16 +26,20 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the chain program is large; cache compiles
-# across bench runs.
-_CACHE = os.environ.get(
-    "FGDM_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-except Exception:
-    pass
+def enable_cache():
+    """Persistent compilation cache: the chain program is large; cache
+    compiles across bench runs.  Called from main(), NOT at import time,
+    so importing this module (e.g. tests using parse_compiler_options)
+    never mutates global jax config."""
+    cache = os.environ.get(
+        "FGDM_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
 A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
 # batch 4 is the measured throughput sweet spot on v5e (0.94 at batch 1,
@@ -187,23 +191,41 @@ def main():
             compiler_options=opts)
     out = run(ld, cldm, jax.random.PRNGKey(salt))
     out.block_until_ready()
-    sys.stderr.write(f"[bench] compile+first run: {time.perf_counter()-t0:.1f}s\n")
+    compile_s = time.perf_counter() - t0
+    sys.stderr.write(f"[bench] compile+first run: {compile_s:.1f}s\n")
 
-    iters = 3
-    t0 = time.perf_counter()
+    # Per-iteration timing (block each iter): cross-session spread has been
+    # observed at ~1%, so the JSON carries dispersion — a regression can't
+    # hide in run-to-run noise.  Blocking per iter costs only host-dispatch
+    # overlap (~ms against a multi-second device program).
+    iters = int(os.environ.get("FGDM_BENCH_ITERS", "5"))
+    iter_secs = []
     for i in range(iters):
+        t0 = time.perf_counter()
         out = run(ld, cldm, jax.random.PRNGKey(salt + i + 1))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        out.block_until_ready()
+        iter_secs.append(time.perf_counter() - t0)
 
+    dt = sum(iter_secs) / iters
     imgs_per_sec = BATCH / dt
+    per_iter_tput = [BATCH / s for s in iter_secs]
+    mean_t = sum(per_iter_tput) / iters
+    sd_t = (sum((x - mean_t) ** 2 for x in per_iter_tput)
+            / max(iters - 1, 1)) ** 0.5
     print(json.dumps({
         "metric": "fgdm_chain_images_per_sec_per_chip_512px",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_CHAIN_IMG_PER_SEC_EST, 3),
+        "iters": iters,
+        "batch": BATCH,
+        "iter_secs": [round(s, 4) for s in iter_secs],
+        "tput_mean": round(mean_t, 4),
+        "tput_sd": round(sd_t, 4),
+        "compile_s": round(compile_s, 1),
     }))
 
 
 if __name__ == "__main__":
+    enable_cache()
     main()

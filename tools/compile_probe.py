@@ -48,6 +48,7 @@ if "-lowopt" in MODE:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (configures the persistent cache dir)
+bench.enable_cache()
 
 BATCH = int(os.environ.get("FGDM_BENCH_BATCH", "4"))
 

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (persistent compile cache)
+bench.enable_cache()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
