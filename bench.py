@@ -194,20 +194,29 @@ def main():
     compile_s = time.perf_counter() - t0
     sys.stderr.write(f"[bench] compile+first run: {compile_s:.1f}s\n")
 
-    # Per-iteration timing (block each iter): cross-session spread has been
-    # observed at ~1%, so the JSON carries dispersion — a regression can't
-    # hide in run-to-run noise.  Blocking per iter costs only host-dispatch
-    # overlap (~ms against a multi-second device program).
+    # Headline: the r1-r4 method unchanged (N async-dispatched iterations,
+    # one final block) so the metric stays comparable across rounds — the
+    # steady-state serving throughput, where successive chain programs
+    # overlap their dispatch.
     iters = int(os.environ.get("FGDM_BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(ld, cldm, jax.random.PRNGKey(salt + i + 1))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    imgs_per_sec = BATCH / dt
+
+    # Dispersion: a second pass of individually-blocked iterations.  The
+    # cross-session spread has been observed at ~1%, so the JSON carries
+    # per-iter seconds + sd — a regression can't hide in run-to-run noise.
+    # (Blocked iters read ~1% below the async headline: that is the
+    # per-call host-dispatch/sync cost the async pipeline hides.)
     iter_secs = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = run(ld, cldm, jax.random.PRNGKey(salt + i + 1))
+        out = run(ld, cldm, jax.random.PRNGKey(salt + 100 + i))
         out.block_until_ready()
         iter_secs.append(time.perf_counter() - t0)
-
-    dt = sum(iter_secs) / iters
-    imgs_per_sec = BATCH / dt
     per_iter_tput = [BATCH / s for s in iter_secs]
     mean_t = sum(per_iter_tput) / iters
     sd_t = (sum((x - mean_t) ** 2 for x in per_iter_tput)
@@ -220,8 +229,8 @@ def main():
         "iters": iters,
         "batch": BATCH,
         "iter_secs": [round(s, 4) for s in iter_secs],
-        "tput_mean": round(mean_t, 4),
-        "tput_sd": round(sd_t, 4),
+        "tput_blocked_mean": round(mean_t, 4),
+        "tput_blocked_sd": round(sd_t, 4),
         "compile_s": round(compile_s, 1),
     }))
 

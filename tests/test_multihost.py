@@ -83,8 +83,9 @@ print(json.dumps({"rank": pid, "val_mean": float(mean_fn(gv["image"]))}),
 TRAIN_WORKER = r"""
 import json, os, sys
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
@@ -180,21 +181,26 @@ def test_two_process_data_pipeline(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_train_step(tmp_path):
-    """The full DP train step over 2 processes: per-host batch slices,
-    replicated state, gloo gradient psum — losses match the single-process
-    8-device run bit-for-bit-ish (same program, different partitioning)."""
+@pytest.mark.parametrize("nproc,ndev", [(2, 4), (4, 2)])
+def test_multi_process_train_step(tmp_path, nproc, ndev):
+    """The full DP train step over nproc processes × ndev devices each
+    (same 8-device global mesh): per-host batch slices, replicated state,
+    gloo gradient psum — losses match the single-process 8-device run
+    bit-for-bit-ish (same program, different partitioning).  The 4×2
+    config exercises a deeper process fan-out than the reference's
+    2-GPU DDP ever did (`main.py:691-696`)."""
     script = tmp_path / "train_worker.py"
     script.write_text(TRAIN_WORKER % {"repo": REPO})
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), "2", str(port)],
+            [sys.executable, str(script), str(pid), str(nproc), str(port),
+             str(ndev)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd=REPO, text=True)
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -231,7 +237,9 @@ def test_two_process_train_step(tmp_path):
     for rank_out in outs:
         got = [r["loss"] for r in sorted(rank_out, key=lambda r: r["step"])]
         np.testing.assert_allclose(got, want, rtol=2e-4)
-    assert [r["loss"] for r in outs[0]] == [r["loss"] for r in outs[1]]
+    # every rank reports the identical reduced loss
+    losses = [[r["loss"] for r in o] for o in outs]
+    assert all(l == losses[0] for l in losses[1:])
 
 
 CLI_WORKER = r"""
