@@ -15,7 +15,10 @@ unfused eager pipeline (no flash/xformers, host PNG hop between factors).
 vs_baseline is measured/estimate; against a generous fully-fp16 20%-MFU
 A100 bound (0.94 img/s) the per-chip speedup is ≥1.6×.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline keys (stable driver contract):
+{"metric", "value", "unit", "vs_baseline"}; dispersion keys appended
+since r5: {"iters", "batch", "iter_secs", "tput_blocked_mean",
+"tput_blocked_sd", "compile_s"}.
 """
 
 import json
@@ -28,18 +31,14 @@ import jax.numpy as jnp
 
 def enable_cache():
     """Persistent compilation cache: the chain program is large; cache
-    compiles across bench runs.  Called from main(), NOT at import time,
-    so importing this module (e.g. tests using parse_compiler_options)
-    never mutates global jax config."""
-    cache = os.environ.get(
-        "FGDM_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    compiles across bench runs.  Called from main() (and by the probe/
+    profile tools), NOT at import time, so importing this module (e.g.
+    tests using parse_compiler_options) never mutates global jax config.
+    Delegates to the shared wiring so ``FGDM_CACHE_DIR=off`` and failure
+    warnings behave identically everywhere."""
+    from fgdm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(min_compile_secs=10.0)
 
 A100_CHAIN_IMG_PER_SEC_EST = 0.20  # see module docstring
 # batch 4 is the measured throughput sweet spot on v5e (0.94 at batch 1,
@@ -159,6 +158,7 @@ def build_pipeline():
 def main():
     from fgdm_tpu.sampling.chain import fgdm_chain
 
+    enable_cache()  # idempotent with the __main__ guard's call
     ld, cldm = build_pipeline()
     ctx = jnp.zeros((BATCH, 77, 768), jnp.float32)
 

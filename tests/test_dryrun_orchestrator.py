@@ -37,6 +37,25 @@ def test_classify_failure_hard():
     assert not flaky and not retryable
 
 
+def test_classify_failure_warn_text_is_not_flaky():
+    """The 20s WARN ('may be stuck') often precedes a DETERMINISTIC
+    assertion failure on a slow host; only the abort form / SIGABRT may
+    be classified as the watchdog flake."""
+    flaky, retryable = ge._classify_failure(
+        1, "E0820 rendezvous.cc:100 This thread has been waiting for "
+           "`collective permute` for 20 seconds and may be stuck\n"
+           "AssertionError: real-shape CP forward drifted: max|д|=0.5")
+    assert not flaky and not retryable
+
+
+def test_decode_timeout_output_bytes():
+    # TimeoutExpired carries bytes even under text=True (CPython POSIX)
+    assert ge._decode(b"dryrun: tp ok\n") == "dryrun: tp ok\n"
+    assert ge._decode(None) == ""
+    assert ge._decode("already str") == "already str"
+    assert "�" in ge._decode(b"\xff\xfe bad utf8")
+
+
 def test_selected_stages_default_and_subset(monkeypatch):
     assert ge._selected_stages() == list(ge._STAGES)
     monkeypatch.setenv("FGDM_DRYRUN_STAGES", "real_cp, real_tp")

@@ -193,3 +193,22 @@ def test_ingest_all_require_all(weights_dir):
     res = _run_tool("--weights_dir", str(weights_dir), "--geometry", "tiny",
                     "--require-all")
     assert res.returncode == 1
+
+
+def test_ingest_all_rejects_unknown_family(weights_dir):
+    """A typo'd --families must error loudly, not silently verify nothing
+    and exit 0."""
+    res = _run_tool("--weights_dir", str(weights_dir), "--geometry", "tiny",
+                    "--families", "contro-seg")
+    assert res.returncode != 0
+    assert "unknown families" in (res.stdout + res.stderr)
+
+
+def test_report_loaded_counts_only_file_arrays():
+    """'loaded' excludes leaves filled from module init (missing keys)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import ingest_all
+
+    r = ingest_all._report(10, ["a.adapter.w", "b.adapter.k"], [],
+                           adapter_ok=True)
+    assert r["ok"] is True and r["loaded"] == 8 and r["missing"] == 2

@@ -91,13 +91,18 @@ def _report(loaded: int, missing, unexpected, note: str = "",
             adapter_ok: bool = False) -> dict:
     """adapter_ok: missing adapter-subtree keys don't fail (plain SD
     checkpoints legitimately lack the FG-DM adapter; the loader fills them
-    from module init, reference strict=False semantics)."""
+    from module init, reference strict=False semantics).
+
+    ``loaded`` arrives as the ASSEMBLED leaf count; the reported number
+    subtracts init-filled leaves so it only counts arrays that actually
+    came from the file (an operator reads it as file-verification
+    evidence)."""
     hard_missing = [k for k in missing
                     if not (adapter_ok and "adapter" in k)]
     ok = not hard_missing and not unexpected
     return {
         "ok": bool(ok),
-        "loaded": int(loaded),
+        "loaded": max(0, int(loaded) - len(missing)),
         "missing": len(missing),
         "missing_examples": list(missing)[:5],
         "unexpected": len(unexpected),
@@ -301,6 +306,10 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     want = {f.strip() for f in args.families.split(",") if f.strip()}
+    known = {name for name, _, _ in families(args.geometry)}
+    unknown = sorted(want - known)
+    if unknown:
+        ap.error(f"unknown families {unknown}; known: {sorted(known)}")
     report, n_fail, n_absent, n_ok = {}, 0, 0, 0
     for name, filenames, runner in families(args.geometry):
         if want and name not in want:
@@ -320,8 +329,11 @@ def main(argv=None) -> int:
         report[name] = r
         if r["ok"]:
             n_ok += 1
+            filled = (f", {r['missing']} filled from init"
+                      if r.get("missing") else "")
             print(f"[{name:<16}] OK  {r['file']}: {r.get('loaded', '?')} "
-                  f"arrays" + (f" — {r['note']}" if r.get("note") else ""))
+                  f"arrays from file{filled}"
+                  + (f" — {r['note']}" if r.get("note") else ""))
         else:
             n_fail += 1
             print(f"[{name:<16}] FAIL {r['file']}: "
