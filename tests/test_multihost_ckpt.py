@@ -31,8 +31,9 @@ WORKER = r"""
 import json, os, sys
 pid, nproc, port, phase, ckdir = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4], sys.argv[5])
+ndev = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
@@ -110,14 +111,14 @@ def _free_port():
     return p
 
 
-def _run_phase(script, phase, ckdir, nproc=2):
+def _run_phase(script, phase, ckdir, nproc=2, ndev=4):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), str(nproc), str(port),
-             phase, str(ckdir)],
+             phase, str(ckdir), str(ndev)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd=REPO, text=True)
         for pid in range(nproc)
@@ -155,3 +156,18 @@ def test_two_process_sharded_save_restore(tmp_path):
         assert np.isfinite(r["loss"])
     # both ranks computed the identical post-restore loss
     assert restores[0]["loss"] == restores[1]["loss"]
+
+    # elastic resume: the same checkpoint restores into a DIFFERENT
+    # process topology — 4 processes x 2 devices over the same 8-device
+    # global mesh, so every host reads a different shard slice than any
+    # writer wrote, and the global state must still be bit-identical
+    elastic = _run_phase(script, "restore", ckdir, nproc=4, ndev=2)
+    for r in elastic:
+        np.testing.assert_allclose(r["checksum"], saves[0]["checksum"],
+                                   rtol=1e-6)
+        assert r["step"] == 2
+    assert len({r["loss"] for r in elastic}) == 1
+    # same global batch + same restored state + same rng => the 4x2 run's
+    # post-restore loss equals the 2x4 run's
+    np.testing.assert_allclose(elastic[0]["loss"], restores[0]["loss"],
+                               rtol=2e-4)
