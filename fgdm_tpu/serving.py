@@ -188,6 +188,11 @@ class ChainEngine:
                 return {"condition": cond_img, "hint": hint, "image": image}
 
             self._run = run_staged
+        # one fused postprocess program (vs several tiny per-call
+        # dispatches, each a host round-trip on a remote runtime)
+        self._to_uint8 = jax.jit(lambda img, cond: (
+            (jnp.clip((img + 1.0) / 2.0, 0.0, 1.0) * 255).astype(jnp.uint8),
+            (jnp.clip(cond, 0.0, 1.0) * 255).astype(jnp.uint8)))
         self.compile_seconds = None
         if warmup:
             t0 = time.perf_counter()
@@ -205,10 +210,14 @@ class ChainEngine:
                 self._embed(self.cldm, cn_p), self._embed(self.cldm, cn_n))
 
     def _warmup(self):
-        ctxs = self._contexts(["warmup"])
-        keys = slot_keys_from_seeds([0] * self.max_batch)
-        out = self._run(self.ld, self.cldm, keys, *ctxs)
-        jax.block_until_ready(out["image"])
+        # Warm the FULL request path — tokenize, embed, chain, the uint8
+        # postprocess program, and the device→host transfer — not just the
+        # chain program.  First-load of ANY program through the remote TPU
+        # runtime can cost far more than its compile (measured: minutes on
+        # a degraded tunnel, tens of seconds normally), so a warmup that
+        # skips the postprocess/transfer leaves the first real request
+        # paying a compile-sized stall after /healthz already said ready.
+        self.generate(["warmup"])
 
     def generate(self, prompts: Sequence[str], seed: int = 0,
                  seeds: Optional[Sequence[int]] = None
@@ -231,8 +240,6 @@ class ChainEngine:
             list(seeds) + [0] * (self.max_batch - n))
         ctxs = self._contexts(prompts)
         out = self._run(self.ld, self.cldm, keys, *ctxs)
-        imgs = np.asarray(
-            jnp.clip((out["image"] + 1) / 2, 0, 1) * 255).astype(np.uint8)
-        conds = np.asarray(
-            jnp.clip(out["condition"], 0, 1) * 255).astype(np.uint8)
-        return {"images": imgs[:n], "conditions": conds[:n]}
+        imgs, conds = self._to_uint8(out["image"], out["condition"])
+        return {"images": np.asarray(imgs)[:n],
+                "conditions": np.asarray(conds)[:n]}

@@ -139,3 +139,43 @@ def test_engine_fast_preset_sampler(engine):
     # the sampler change must actually change the trajectory
     c = engine.generate(["a cat"], seed=3)
     assert not np.array_equal(a["conditions"], c["conditions"])
+
+
+def test_bench_serving_drive_counts_and_seeds():
+    """tools/bench_serving.drive must keep working against the REAL
+    RequestBatcher call convention (it broke once: the batcher passes
+    seeds=, the counting wrapper only accepted seed=) — use a fake engine
+    so this runs in milliseconds."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import bench_serving
+
+    class FakeEngine:
+        max_batch = 4
+        compile_seconds = 0.0
+
+        def generate(self, prompts, seed=0, seeds=None):
+            assert seeds is None or len(seeds) == len(prompts)
+            n = len(prompts)
+            z = np.zeros((n, 4, 4, 3), np.uint8)
+            return {"images": z, "conditions": z}
+
+    eng = FakeEngine()
+    r = bench_serving.drive(eng, n_clients=4, n_requests=8, window_ms=50.0)
+    assert r["requests"] == 8
+    assert r["engine_calls"] >= 2  # 8 single-prompt reqs, batch 4
+    assert r["occupancy"] > 1.0  # coalescing actually happened
+    # the wrapper is removed afterwards
+    assert eng.generate.__func__ is FakeEngine.generate
+
+    # a failing engine must surface as an error, not requests=0 + rc 0
+    class BrokenEngine(FakeEngine):
+        def generate(self, prompts, seed=0, seeds=None):
+            raise ValueError("boom")
+
+    with pytest.raises(RuntimeError, match="requests failed"):
+        bench_serving.drive(BrokenEngine(), 2, 2, 0.0)

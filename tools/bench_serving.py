@@ -29,6 +29,10 @@ def build_engine(tiny: bool):
     import jax
     import jax.numpy as jnp
 
+    from fgdm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # staged serving programs compile in minutes
+
     from fgdm_tpu.diffusion.control import ControlLDM
     from fgdm_tpu.diffusion.latent_diffusion import LatentDiffusion
     from fgdm_tpu.models.autoencoder import AutoencoderKL
@@ -67,9 +71,9 @@ def drive(engine, n_clients: int, n_requests: int, window_ms: float):
     calls = {"n": 0}
     real = engine.generate
 
-    def counted(prompts, seed=0):
+    def counted(prompts, seed=0, seeds=None):
         calls["n"] += 1
-        return real(prompts, seed=seed)
+        return real(prompts, seed=seed, seeds=seeds)
 
     engine.generate, saved = counted, engine.generate
     try:
@@ -77,9 +81,15 @@ def drive(engine, n_clients: int, n_requests: int, window_ms: float):
         sem = threading.Semaphore(n_clients)
         done = []
 
+        errors = []
+
         def one(i):
             with sem:
-                batcher.generate([f"prompt {i}"], seed=0)
+                try:
+                    batcher.generate([f"prompt {i}"], seed=0)
+                except Exception as e:
+                    errors.append(e)
+                    return
                 done.append(i)
 
         threads = [threading.Thread(target=one, args=(i,))
@@ -92,6 +102,10 @@ def drive(engine, n_clients: int, n_requests: int, window_ms: float):
         dt = time.perf_counter() - t0
     finally:
         engine.generate = saved
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)}/{n_requests} requests failed; first: "
+            f"{errors[0]!r}") from errors[0]
     occ = len(done) / max(calls["n"], 1)
     return {"window_ms": window_ms, "requests": len(done),
             "wall_s": round(dt, 3), "req_per_s": round(len(done) / dt, 3),
